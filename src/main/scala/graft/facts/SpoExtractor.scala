@@ -1,0 +1,153 @@
+package graft.facts
+
+import graft.model.Fact
+import graft.extract.Core8Extractor
+import scala.collection.mutable.ArrayBuffer
+
+/** Intelligent SPO fact extraction (SURVEY.md §2.6 X1/X4) — the
+  * "Standalone Intelligent SPO Extractor" semantics that ship in the
+  * reference's golden fixtures (`DocTest.json:9`;
+  * `knowledge/extractors/standalone_intelligent_extractor.py:134-560`):
+  * category regex patterns → (subject, predicate, object) with confidence
+  * scoring, quality threshold 0.75, actionable classification,
+  * complete-sentence context windows, dedup.
+  */
+object SpoExtractor {
+
+  val QualityThreshold = 0.75
+
+  private def P(s: String) = java.util.regex.Pattern.compile(s)
+
+  // pattern, fact_type, predicate, baseConfidence, actionable
+  private final case class FactPattern(
+      rx: java.util.regex.Pattern,
+      factType: String,
+      predicate: String,
+      base: Double,
+      actionable: Boolean,
+      subjectGroup: Int,
+      objectGroup: Int)
+
+  private val patterns: Seq[FactPattern] = Seq(
+    // "X shall/must be completed on or before DATE" (FIXTURES F1)
+    FactPattern(
+      P("(?i)\\b([A-Z][\\w ,'-]{2,60}?)\\s+(?:shall|must)\\s+be\\s+([\\w ,'-]{3,80}?)(?:\\.|$|;)"),
+      "requirement", "REQUIRED_TO", 0.8, actionable = true, 1, 2),
+    // "X shall/must VERB ..." (modal requirement)
+    FactPattern(
+      P("(?i)\\b([A-Z][\\w ,'-]{2,60}?)\\s+(?:shall|must)\\s+((?!be\\b)[\\w ,'-]{3,80}?)(?:\\.|$|;)"),
+      "requirement", "MUST", 0.78, actionable = true, 1, 2),
+    // "X should ..." (weaker modal)
+    FactPattern(
+      P("(?i)\\b([A-Z][\\w ,'-]{2,60}?)\\s+should\\s+([\\w ,'-]{3,80}?)(?:\\.|$|;)"),
+      "recommendation", "SHOULD", 0.7, actionable = true, 1, 2),
+    // "within 30 days" (FIXTURES F2)
+    FactPattern(
+      P("(?i)within\\s+(\\d+\\s+(?:days?|hours?|weeks?|months?|years?|business days?))"),
+      "time_requirement", "HAS_VALUE", 0.8, actionable = true, -1, 1),
+    // financial impact: "a fine of $X" / "cost(s) $X" / "penalty of $X"
+    FactPattern(
+      P("(?i)\\b(fine|penalty|cost|fee|budget|damages)s?\\s+(?:of|up to|totaling|exceeding)?\\s*([$€£]\\s?[\\d,.]+(?:\\s?(?:k|m|b|million|billion|thousand))?)"),
+      "financial_impact", "HAS_AMOUNT", 0.8, actionable = false, 1, 2),
+    // regulation citation: "in accordance with / pursuant to / under <reg>"
+    FactPattern(
+      P("(?i)(?:in accordance with|pursuant to|as required by|under)\\s+(\\d+\\s+(?:CFR|USC)\\s*§?\\s*[\\d.]+(?:\\([a-z0-9]+\\))*)"),
+      "regulation_citation", "CITES", 0.85, actionable = false, -1, 1),
+    // "X is responsible for Y"
+    FactPattern(
+      P("(?i)\\b([A-Z][\\w ,'-]{2,60}?)\\s+(?:is|are)\\s+responsible\\s+for\\s+([\\w ,'-]{3,80}?)(?:\\.|$|;)"),
+      "responsibility", "RESPONSIBLE_FOR", 0.8, actionable = true, 1, 2),
+    // "X requires Y"
+    FactPattern(
+      P("(?i)\\b([A-Z][\\w ,'-]{2,60}?)\\s+requires?\\s+([\\w ,'-]{3,80}?)(?:\\.|$|;)"),
+      "requirement", "REQUIRES", 0.76, actionable = true, 1, 2),
+    // "X was/were VERBed by Y" (passive action)
+    FactPattern(
+      P("(?i)\\b([A-Z][\\w ,'-]{2,60}?)\\s+(?:was|were)\\s+(approved|rejected|completed|issued|filed|submitted|inspected|reviewed)\\s+by\\s+([\\w ,'.-]{3,60}?)(?:\\.|$|;)"),
+      "action", "ACTED_ON_BY", 0.77, actionable = false, 1, 3))
+
+  /** Quality gate mirroring `_is_high_quality_fact`: complete thought
+    * (ends at sentence-ish boundary), informative lengths, not all
+    * stopwords.
+    */
+  private def quality(subject: String, obj: String, base: Double): Double = {
+    var c = base
+    if (subject.nonEmpty && subject.split("\\s+").length >= 2) c += 0.05
+    if (obj.split("\\s+").length >= 2) c += 0.05
+    if (obj.length < 4) c -= 0.3
+    if (subject.nonEmpty && graft.matching.Corpora.orgStoplist.contains(subject.toLowerCase)) c -= 0.3
+    math.min(c, 0.99)
+  }
+
+  private def trimPart(s: String): String =
+    s.trim.stripSuffix(",").stripSuffix(";").trim
+
+  /** Extract facts from clean (normalized) markdown. Context = the
+    * containing sentence; span = match offsets in the clean text.
+    */
+  def extract(cleanText: String): Seq[Fact] = {
+    val sentences = Core8Extractor.splitSentences(cleanText)
+    val out = new ArrayBuffer[Fact]
+    sentences.foreach { case (sentence, sentStart) =>
+      patterns.foreach { fp =>
+        val m = fp.rx.matcher(sentence)
+        while (m.find()) {
+          val subject =
+            if (fp.subjectGroup > 0) trimPart(m.group(fp.subjectGroup))
+            else (fp.factType match {
+              case "time_requirement" => "Time Requirement"
+              case "regulation_citation" => "Regulation"
+              case t => t
+            })
+          val obj = trimPart(m.group(fp.objectGroup))
+          val conf = math.rint(quality(subject, obj, fp.base) * 100) / 100.0
+          if (conf >= QualityThreshold && obj.nonEmpty) {
+            out += Fact(
+              subject = subject,
+              predicate = fp.predicate,
+              `object` = obj,
+              confidence = conf,
+              fact_type = fp.factType,
+              context = sentence.trim,
+              start = sentStart + m.start(),
+              end = sentStart + m.end(),
+              actionable = fp.actionable)
+          }
+        }
+      }
+    }
+    dedup(out.toSeq)
+  }
+
+  /** Dedup: same (subject, predicate, object) keeps the first (highest
+    * position priority); overlapping spans keep the higher-confidence one.
+    */
+  def dedup(facts: Seq[Fact]): Seq[Fact] = {
+    val seen = scala.collection.mutable.HashSet.empty[(String, String, String)]
+    val bySpan = facts.sortBy(f => (-f.confidence, f.start))
+    val taken = new ArrayBuffer[Fact]
+    bySpan.foreach { f =>
+      val key = (f.subject.toLowerCase, f.predicate, f.`object`.toLowerCase)
+      val overlaps = taken.exists(t => f.start < t.end && t.start < f.end &&
+        t.fact_type == f.fact_type)
+      if (!seen.contains(key) && !overlaps) { seen += key; taken += f }
+    }
+    taken.sortBy(_.start).toSeq
+  }
+
+  /** X4: per-doc fact summary (`DocTest.json:2-14` shape). */
+  final case class FactSummary(
+      total_facts: Int,
+      actionable_facts: Int,
+      fact_types: Map[String, Int],
+      quality_threshold: Double,
+      engine: String)
+
+  def summarize(facts: Seq[Fact]): FactSummary =
+    FactSummary(
+      total_facts = facts.length,
+      actionable_facts = facts.count(_.actionable),
+      fact_types = facts.groupBy(_.fact_type).map { case (k, v) => k -> v.length },
+      quality_threshold = QualityThreshold,
+      engine = "graft-spo")
+}

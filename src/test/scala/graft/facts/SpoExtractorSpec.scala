@@ -1,0 +1,66 @@
+package graft.facts
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SPO fact cases per FIXTURES.md §4.6 (F1-F3). */
+class SpoExtractorSpec extends AnyFunSuite {
+
+  test("F1: modal requirement -> REQUIRED_TO, actionable, confidence >= 0.75") {
+    val t = "Safety training shall be completed on or before March 1, 2024."
+    val facts = SpoExtractor.extract(t)
+    assert(facts.nonEmpty)
+    val f = facts.head
+    assert(f.subject === "Safety training")
+    assert(f.predicate === "REQUIRED_TO")
+    assert(f.`object`.startsWith("completed on or before"))
+    assert(f.actionable)
+    assert(f.confidence >= 0.75)
+    assert(f.context === t)
+  }
+
+  test("F2: within 30 days -> (Time Requirement, HAS_VALUE, 30 days)") {
+    val t = "Reports must be filed within 30 days of the incident."
+    val facts = SpoExtractor.extract(t)
+    val tr = facts.find(_.fact_type === "time_requirement")
+    assert(tr.isDefined)
+    assert(tr.get.subject === "Time Requirement")
+    assert(tr.get.predicate === "HAS_VALUE")
+    assert(tr.get.`object` === "30 days")
+  }
+
+  test("financial impact and regulation citation") {
+    val t = "Violations carry a penalty of $70,000 per occurrence. " +
+      "Employers act in accordance with 29 CFR 1926.95 at all times."
+    val facts = SpoExtractor.extract(t)
+    val fin = facts.find(_.fact_type === "financial_impact")
+    assert(fin.isDefined && fin.get.`object`.contains("$70,000"))
+    val reg = facts.find(_.fact_type === "regulation_citation")
+    assert(reg.isDefined && reg.get.predicate === "CITES")
+    assert(reg.get.`object`.replaceAll("\\s+", " ").contains("29 CFR 1926.95"))
+  }
+
+  test("low-quality fragments rejected by 0.75 threshold") {
+    val t = "The must do it."
+    val facts = SpoExtractor.extract(t)
+    assert(!facts.exists(f => f.subject.equalsIgnoreCase("The")))
+  }
+
+  test("F3: fact summary counts by type with threshold") {
+    val t = "Safety training shall be completed by March. " +
+      "Reports must be filed within 30 days of review. " +
+      "Supervisors are responsible for equipment checks."
+    val facts = SpoExtractor.extract(t)
+    val sum = SpoExtractor.summarize(facts)
+    assert(sum.total_facts === facts.length)
+    assert(sum.quality_threshold === 0.75)
+    assert(sum.actionable_facts === facts.count(_.actionable))
+    assert(sum.fact_types.values.sum === facts.length)
+    assert(sum.fact_types.contains("requirement"))
+  }
+
+  test("dedup: repeated subject-predicate-object kept once") {
+    val t = "Workers must wear helmets. Workers must wear helmets."
+    val facts = SpoExtractor.extract(t)
+    assert(facts.count(f => f.`object`.toLowerCase.contains("wear helmets")) === 1)
+  }
+}
