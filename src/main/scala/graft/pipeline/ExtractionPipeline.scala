@@ -1,0 +1,99 @@
+package graft.pipeline
+
+import graft.model._
+import graft.classify.Classifier
+import graft.extract.{ContentFlagsScan, Core8Extractor}
+import graft.facts.SpoExtractor
+import graft.html.HtmlExtractor
+import graft.normalize.Normalizer
+import graft.pdf.PdfExtractor
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The fused extraction job (SURVEY.md §3.1 restated Spark-first):
+  * one lazy `Dataset[RawDoc]` chain where ALL seven reference stages
+  * (convert → flags → classify → extract → normalize → facts → assemble)
+  * run inside a single `mapPartitions` — zero materialization between
+  * stages, mirroring the reference's "zero I/O between stages"
+  * (`pipeline/in_memory_document.py:4-6`). The executor boundary replaces
+  * the reference's process/queue machinery.
+  *
+  * Skew (SURVEY.md §4): giant documents would dominate task time, so the
+  * input is salted-repartitioned on (size bucket, hash-salt) before the
+  * heavy stage — at 1000 executors this spreads the big-doc tail evenly
+  * instead of letting hash luck stack giants on one task. The
+  * reference's own caps (100 pages, 50KB extraction) bound the worst
+  * case per doc.
+  */
+object ExtractionPipeline {
+
+  /** Document-local fused stage function — pure; compiled automatons and
+    * regexes are per-JVM singletons (AhoCorasick.cached / static
+    * Patterns), so per-row cost is scan-only.
+    */
+  def processDoc(raw: RawDoc): ExtractedDoc = {
+    try {
+      // stage 1-2: convert to spans
+      val spansOrErr: Either[String, Seq[Span]] = raw.content_kind match {
+        case "html" => Right(HtmlExtractor.extract(raw.html))
+        case "pdf_blocks" => PdfExtractor.extract(raw.doc_id, raw.pdf_blocks, raw.page_count)
+        case "text" =>
+          Right(
+            if (raw.text.trim.isEmpty) Seq.empty
+            else Seq(Span(SpanKinds.Text, raw.text, "", 0)))
+        case other => Left(s"unsupported content_kind: $other")
+      }
+      spansOrErr match {
+        case Left(err) =>
+          ExtractedDoc(raw.doc_id, Seq.empty, DocMeta.empty, Seq.empty, Seq.empty,
+            Seq.empty, success = false, error = err)
+        case Right(spans) =>
+          val markdown = spans.map(_.text).mkString("\n")
+          // stage 2b: content flags (single pass over spans)
+          val flags = ContentFlagsScan.scan(spans)
+          // stage 3: classification
+          val cls = Classifier.classify(markdown)
+          // stage 4: entity extraction (routing skip per confidence <5.0)
+          val cleanText = Core8Extractor.truncate(Core8Extractor.cleanFormatting(markdown))
+          val entities =
+            if (cls.skipEntityExtraction) Seq.empty
+            else Core8Extractor.extractAll(cleanText)
+          // stage 5: normalization (document-local canonical grouping)
+          val canonical = Normalizer.canonicalize(entities)
+          // stage 6: semantic facts on the clean text
+          val facts = SpoExtractor.extract(cleanText)
+          val meta = DocMeta(
+            content_detection = flags,
+            page_count = raw.page_count,
+            primary_domain = cls.primaryDomain,
+            primary_domain_confidence = cls.primaryDomainConfidence,
+            primary_document_type = cls.primaryDocType,
+            domains = cls.domains)
+          ExtractedDoc(raw.doc_id, spans, meta, entities, canonical, facts,
+            success = true, error = "")
+      }
+    } catch {
+      case e: Exception =>
+        ExtractedDoc(raw.doc_id, Seq.empty, DocMeta.empty, Seq.empty, Seq.empty,
+          Seq.empty, success = false, error = s"${e.getClass.getSimpleName}: ${e.getMessage}")
+    }
+  }
+
+  /** Size-bucket salted repartition: log2 size bucket × a doc-id salt.
+    * Docs of similar size hash across ALL partitions (salt) while the
+    * bucket term keeps any single partition from drawing only giants.
+    */
+  def salted(raw: Dataset[RawDoc], partitions: Int): Dataset[RawDoc] = {
+    val salts = math.max(partitions, 1)
+    raw.repartition(partitions,
+      ceil(log2(col("size_bytes") + lit(1))),
+      pmod(hash(col("doc_id")), lit(salts)))
+  }
+
+  /** Full job: raw docs → extracted docs, fused + salted. */
+  def run(spark: SparkSession, raw: Dataset[RawDoc], partitions: Int = 0): Dataset[ExtractedDoc] = {
+    import spark.implicits._
+    val p = if (partitions > 0) partitions else spark.sparkContext.defaultParallelism * 2
+    salted(raw, p).mapPartitions(_.map(processDoc))
+  }
+}

@@ -1,0 +1,160 @@
+package graft.sources
+
+import graft.model.{PdfBlock, RawDoc}
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** Deterministic raw-document synthesis (FIXTURES.md: "synthesized
+  * deterministically (fixed seed) — no external data").
+  *
+  * Derives an interleaved text+media corpus purely from the driver's
+  * `documents.parquet` (doc_id, text) at any scale factor: every field is
+  * a pure function of (doc_id, text), so the same sfDir always yields the
+  * same corpus — tests, Verify and Bench all see identical inputs.
+  *
+  * Mix: 50% HTML (with nav/header/footer/aside boilerplate, inline
+  * markup, tables, lists, images), 30% PDF block-geometry docs (multi
+  * page, two-column for every 3rd, ~1% >100-page reject cases), 20%
+  * plain text. Entity/fact-bearing sentences are injected
+  * deterministically so the enrichment stages have real work.
+  */
+object DocGen {
+
+  def docsTable(spark: SparkSession, sfDir: String) =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+
+  /** Deterministic size variance: most docs carry 1-4 copies of their
+    * base text; every 101st is a "giant" (40 copies) — the skew tail the
+    * salted repartition must absorb (FIXTURES.md P3).
+    */
+  private def expand(id: Long, text: String): String = {
+    val k = if (id % 101 == 100) 40 else 1 + (id % 4).toInt
+    if (k == 1) text else Seq.fill(k)(text).mkString(" ")
+  }
+
+  /** Pure: one raw doc from a (doc_id, text) pair. */
+  def synthesize(id: Long, text0: String): RawDoc = {
+    val text = expand(id, text0)
+    val mode = id % 10
+    if (mode < 5) synthHtml(id, text)
+    else if (mode < 8) synthPdf(id, text)
+    else synthText(id, text)
+  }
+
+  def rawDocs(spark: SparkSession, sfDir: String): Dataset[RawDoc] = {
+    import spark.implicits._
+    docsTable(spark, sfDir)
+      .select("doc_id", "text")
+      .as[(Long, String)]
+      .map { case (id, text) => synthesize(id, text) }
+  }
+
+  // ----------------------------------------------------------- sentences
+
+  private def sentences(text: String): Seq[String] = {
+    val parts = text.split("(?<=[.!?])\\s+").toSeq.filter(_.trim.nonEmpty)
+    if (parts.isEmpty) Seq(text.take(200)) else parts
+  }
+
+  /** Deterministic entity-bearing sentences keyed by doc id. */
+  private def entitySentences(id: Long): Seq[String] = {
+    val first = Seq("John", "Sarah", "Michael", "Emily", "David", "Jane")((id % 6).toInt)
+    val last = Seq("Smith", "Johnson", "Garcia", "Chen", "Patel", "Brown")(((id / 6) % 6).toInt)
+    val month = Seq("January", "February", "March", "April", "June", "July",
+      "August", "September", "October", "November")((id % 10).toInt)
+    val day = (id % 28 + 1).toInt
+    val year = (2020 + id % 6).toInt
+    val amount = (id % 90 + 10) * 250
+    val days = (id % 90 + 1).toInt
+    val inches = (id % 20 + 20).toInt
+    val city = Seq("Chicago", "Houston", "Seattle", "Boston", "Denver", "Atlanta")((id % 6).toInt)
+    Seq(
+      s"Contact $first $last at (555) ${100 + id % 900}-${1000 + id % 9000} regarding the audit.",
+      s"The inspection is scheduled for $month $day, $year at ${(id % 11 + 1)}:${if (id % 2 == 0) "30" else "15"} PM in $city.",
+      s"Violations carry a penalty of $$${"%,d".format(amount)} under 29 CFR 1926.${(id % 400 + 100)}.",
+      s"Guardrails must measure $inches-${inches + 7} inches and reports shall be filed within $days days.")
+  }
+
+  // ----------------------------------------------------------------- html
+
+  private def synthHtml(id: Long, text: String): RawDoc = {
+    val sents = sentences(text)
+    val extra = entitySentences(id)
+    val paras = (sents ++ extra).grouped(3).map(_.mkString(" ")).toSeq
+    val sb = new StringBuilder
+    sb ++= "<html><head><title>Doc "
+    sb ++= id.toString
+    sb ++= "</title><style>body{margin:0}</style><link rel=\"stylesheet\" href=\"s.css\"><script>var t=1;</script></head><body>"
+    sb ++= "<header><a href=\"/\">Home</a> <a href=\"/news\">News</a> <a href=\"/about\">About</a></header>"
+    sb ++= "<nav><ul><li><a href=\"/a\">Section A</a></li><li><a href=\"/b\">Section B</a></li><li><a href=\"/c\">Section C</a></li></ul></nav>"
+    sb ++= "<article>"
+    sb ++= s"<h1>Document $id Report</h1>"
+    paras.zipWithIndex.foreach { case (p, i) =>
+      if (i == 1 && id % 2 == 0) sb ++= s"<h2>Section ${i} Findings</h2>"
+      if (i == 2 && id % 4 == 0)
+        sb ++= s"""<img src="https://cdn.example.com/img/$id-$i.png" alt="figure $i for doc $id">"""
+      val body =
+        if (i == 0 && id % 3 == 0) p.replaceFirst("(\\w+) (\\w+)", "<strong>$1</strong> <em>$2</em>")
+        else p
+      sb ++= s"<p>$body</p>"
+    }
+    if (id % 7 == 0)
+      sb ++= "<ul><li>inspection checklist</li><li>equipment log</li><li>training record</li></ul>"
+    if (id % 6 == 0)
+      sb ++= "<blockquote><p>Compliance is verified during each quarterly review.</p></blockquote>"
+    if (id % 5 == 0)
+      sb ++= s"<table><tr><th>Item</th><th>Qty</th></tr><tr><td>unit-$id</td><td>${id % 100}</td></tr><tr><td>spare</td><td>${id % 7}</td></tr></table>"
+    if (id % 8 == 0)
+      sb ++= "<pre>status = check(sensor)\nif status: alert()</pre>"
+    sb ++= "</article>"
+    sb ++= "<aside><a href=\"/ad1\">Subscribe now</a> <a href=\"/ad2\">Special offer</a></aside>"
+    sb ++= "<footer><a href=\"/privacy\">Privacy</a> <a href=\"/terms\">Terms</a> © 2024</footer>"
+    sb ++= "</body></html>"
+    val html = sb.toString
+    RawDoc(s"doc$id", "html", html, Seq.empty, "", html.length.toLong, 1)
+  }
+
+  // ------------------------------------------------------------------ pdf
+
+  private def synthPdf(id: Long, text: String): RawDoc = {
+    val body = (sentences(text) ++ entitySentences(id)).mkString(" ")
+    val reject = id % 97 == 0
+    val chunks = body.grouped(240).toSeq
+    val twoCol = id % 3 == 0
+    val blocksPerPage = 4
+    val pageCount =
+      if (reject) 101 + (id % 20).toInt
+      else math.max(1, (chunks.length + blocksPerPage - 1) / blocksPerPage)
+    val blocks = chunks.zipWithIndex.map { case (chunk, i) =>
+      val page = i / blocksPerPage + 1
+      val slot = i % blocksPerPage
+      if (twoCol) {
+        val col = slot % 2 // 0=left, 1=right
+        val row = slot / 2
+        PdfBlock(page,
+          x0 = if (col == 0) 36.0 else 310.0,
+          y0 = 72.0 + row * 220.0,
+          x1 = if (col == 0) 290.0 else 564.0,
+          y1 = 72.0 + row * 220.0 + 200.0,
+          text = chunk, is_image = false, media_ref = "")
+      } else {
+        PdfBlock(page, 36.0, 72.0 + slot * 160.0, 564.0, 72.0 + slot * 160.0 + 140.0,
+          chunk, is_image = false, media_ref = "")
+      }
+    }
+    val withImages =
+      if (id % 4 == 0 && blocks.nonEmpty) {
+        val b = blocks.head
+        blocks :+ PdfBlock(b.page, 200.0, 700.0, 400.0, 760.0,
+          s"diagram for doc $id", is_image = true, media_ref = s"img://doc$id/p${b.page}/0")
+      } else blocks
+    RawDoc(s"doc$id", "pdf_blocks", "", withImages, "", body.length.toLong, pageCount)
+  }
+
+  // ----------------------------------------------------------------- text
+
+  private def synthText(id: Long, text: String): RawDoc = {
+    val body = (sentences(text) ++ entitySentences(id)).mkString(" ")
+    RawDoc(s"doc$id", "text", "", Seq.empty, body, body.length.toLong,
+      math.max(1, (body.length + 2999) / 3000))
+  }
+}
