@@ -120,7 +120,7 @@ object SparkEntry {
       val o = s.read.parquet(s"$dir/orders.parquet")
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_orderdate"), col("o_orderkey"))
-      o.withColumn("rn", row_number().over(w))
+      o.withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= 2)
         .select(col("o_custkey"), col("rn"), col("o_orderkey"),
           round(col("o_totalprice"), 2).as("price"))
@@ -137,7 +137,22 @@ object SparkEntry {
         .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
         .orderBy(col("event_type"), col("day"))
-    })
+    }),
+
+    // ---- training-data text ops (DuckDB-verified formulas)
+    "t1_token_count" -> ((s, dir) => graft.textops.TextOps.tokenCount(s, dir)),
+    "t2_quality_score" -> ((s, dir) => graft.textops.TextOps.qualityScore(s, dir)),
+    "t3_lang_id" -> ((s, dir) => graft.textops.TextOps.langId(s, dir)),
+    "t4_fingerprint" -> ((s, dir) => graft.textops.TextOps.fingerprint(s, dir)),
+    "t5_dedup_exact" -> ((s, dir) => graft.textops.TextOps.dedupExact(s, dir)),
+    "t6_ngram_jaccard" -> ((s, dir) => graft.textops.TextOps.ngramJaccard(s, dir, 0.2)),
+    "t7_minhash_lsh" -> ((s, dir) => graft.textops.TextOps.minhashLsh(s, dir, 0.5)),
+    "t8_simhash" -> ((s, dir) => graft.textops.TextOps.simhash(s, dir)),
+
+    // ---- similarity search over embeddings (DuckDB-verified)
+    "s1_cosine_topk" -> ((s, dir) => graft.sim.Similarity.cosineTopK(s, dir, 10, 5)),
+    "s2_lsh_topk" -> ((s, dir) => graft.sim.Similarity.lshTopK(s, dir, 10, 5)),
+    "s3_label_centroids" -> ((s, dir) => graft.sim.Similarity.labelCentroids(s, dir))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -172,6 +187,17 @@ object SparkEntry {
     "q6_events_agg" ->
       """SELECT event_type, date_trunc('day', ts) AS day,
         | count(*) AS n, round(sum(value), 2) AS total
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "t1_token_count" -> OracleSql.tokenCount,
+    "t2_quality_score" -> OracleSql.qualityScore,
+    "t3_lang_id" -> OracleSql.langId,
+    "t4_fingerprint" -> OracleSql.fingerprint,
+    "t5_dedup_exact" -> OracleSql.dedupExact,
+    "t6_ngram_jaccard" -> OracleSql.ngramJaccard(0.2),
+    "t7_minhash_lsh" -> OracleSql.minhashLsh(0.5),
+    "t8_simhash" -> OracleSql.simhash,
+    "s1_cosine_topk" -> OracleSql.cosineTopK(10, 5),
+    "s2_lsh_topk" -> OracleSql.lshTopK(10, 5),
+    "s3_label_centroids" -> OracleSql.labelCentroids
   )
 }

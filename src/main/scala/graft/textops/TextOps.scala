@@ -1,0 +1,242 @@
+package graft.textops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data text operators over the `documents` table: token
+  * counting, quality scoring, language ID, fingerprinting, exact and
+  * near-duplicate detection (shingle-join baseline + MinHash-LSH scale
+  * path), SimHash. Every op is a declarative DataFrame plan — Catalyst
+  * pushes the column prune + filters into the Parquet scan, and the
+  * dedup joins shuffle on shingle/band keys (never a cross join), so the
+  * same plan survives a 100× scale-up.
+  *
+  * Each formula is chosen to be expressible identically in DuckDB SQL so
+  * the driver can hash-verify results (see SparkEntry.oracleSql).
+  */
+object TextOps {
+
+  def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  // ------------------------------------------------------------- tokens
+
+  /** Whitespace tokens + word tokens per doc. */
+  def tokenCount(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long").as("n_ws_tokens"),
+      size(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).cast("long").as("n_word_tokens"))
+      .orderBy("doc_id")
+
+  // ------------------------------------------------------------ quality
+
+  private val stopwordsSqlList: String =
+    graft.matching.Corpora.englishStopwords.toSeq.sorted.map(w => s"'$w'").mkString(", ")
+
+  /** Quality score — length, punctuation ratio, stopword ratio
+    * (the reference-style heuristics re-expressed as columns):
+    * score = min(tokens/100,1)*0.4 + (1-punct_ratio)*0.3 + min(stop_ratio*4,1)*0.3.
+    */
+  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+      .withColumn("toks", expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("punct_len",
+        length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", "")))
+      .withColumn("stop_n",
+        size(expr(s"filter(toks, t -> t IN ($stopwordsSqlList))")))
+      .withColumn("punct_ratio",
+        round(col("punct_len").cast("double") / greatest(col("n_chars"), lit(1)), 4))
+      .withColumn("stop_ratio",
+        round(col("stop_n").cast("double") / greatest(col("n_tokens"), lit(1)), 4))
+      .withColumn("quality_score", round(
+        least(col("n_tokens").cast("double") / 100.0, lit(1.0)) * 0.4 +
+        (lit(1.0) - col("punct_ratio")) * 0.3 +
+        least(col("stop_ratio") * 4.0, lit(1.0)) * 0.3, 4))
+      .select("doc_id", "n_chars", "n_tokens", "punct_ratio", "stop_ratio", "quality_score")
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------------ lang id
+
+  val langStopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for", "with", "was"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "del", "las", "por"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den", "nicht", "ein"),
+    "fr" -> Seq("le", "les", "des", "et", "est", "dans", "pour", "une", "du", "au"))
+
+  /** N-gram/stopword-heuristic language ID: per-language stopword hit
+    * counts (+ CJK char count for zh); argmax with fixed tiebreak order
+    * en < es < de < fr < zh (first max wins).
+    */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    def hits(lang: String): Column = {
+      val lst = langStopwords(lang).map(w => s"'$w'").mkString(", ")
+      size(expr(s"filter(regexp_extract_all(lower(text), '[a-z]+', 0), t -> t IN ($lst))")).cast("long")
+    }
+    docs(s, dir)
+      .withColumn("s_en", hits("en"))
+      .withColumn("s_es", hits("es"))
+      .withColumn("s_de", hits("de"))
+      .withColumn("s_fr", hits("fr"))
+      .withColumn("s_zh", length(regexp_replace(col("text"), "[^\\u4e00-\\u9fff]", "")).cast("long"))
+      .withColumn("mx", greatest(col("s_en"), col("s_es"), col("s_de"), col("s_fr"), col("s_zh")))
+      .withColumn("lang_pred",
+        when(col("mx") === 0, lit("und"))
+          .when(col("s_en") === col("mx"), "en")
+          .when(col("s_es") === col("mx"), "es")
+          .when(col("s_de") === col("mx"), "de")
+          .when(col("s_fr") === col("mx"), "fr")
+          .otherwise("zh"))
+      .select("doc_id", "s_en", "s_es", "s_de", "s_fr", "s_zh", "lang_pred")
+      .orderBy("doc_id")
+  }
+
+  // -------------------------------------------------------- fingerprint
+
+  /** Whitespace-normalized lowercase MD5 document fingerprint. */
+  def fingerprintCol: Column =
+    md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+
+  def fingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), fingerprintCol.as("fp")).orderBy("doc_id")
+
+  /** Exact dedup: rank docs within identical fingerprints; rn>1 = dup. */
+  def dedupExact(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    docs(s, dir).select(col("doc_id"), fingerprintCol.as("fp"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("is_dup", col("rn") > 1)
+      .select("doc_id", "fp", "rn", "is_dup")
+      .orderBy("doc_id")
+  }
+
+  // ----------------------------------------------------------- shingles
+
+  /** Distinct word-3-gram shingles per doc — the shared base of the
+    * n-gram Jaccard and MinHash ops. Shuffle key = shingle string.
+    */
+  def shingles(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t)-3), " +
+        "i -> concat_ws(' ', element_at(t, i+1), element_at(t, i+2), element_at(t, i+3)))")).as("sh"))
+      .distinct()
+
+  /** N-gram Jaccard near-dup baseline: pairs sharing a shingle →
+    * |∩| / |∪| ≥ threshold. Join on shingle (equi-join shuffle), never a
+    * cross join — candidate pairs are bounded by shingle co-occurrence.
+    */
+  def ngramJaccard(s: SparkSession, dir: String, threshold: Double = 0.2): DataFrame = {
+    val sh = shingles(s, dir).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("x").join(sh.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na"), "a")
+      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb"), "b")
+      .withColumn("jaccard", round(col("i").cast("double") /
+        (col("na") + col("nb") - col("i")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
+      .orderBy("a", "b")
+  }
+
+  // ------------------------------------------------------------ minhash
+
+  val MinhashP = 2147483647L // 2^31 - 1
+  val NumHashes = 16
+  val NumBands = 4 // rows per band r = 4
+  /** Deterministic hash-family coefficients (odd a, arbitrary b). */
+  val hashA: Seq[Long] = (0 until NumHashes).map(i => ((i + 1) * 2654435761L % MinhashP) | 1L)
+  val hashB: Seq[Long] = (0 until NumHashes).map(i => (i + 1) * 40503L * 65537L % MinhashP)
+
+  /** Portable shingle hash: first 8 hex chars of MD5 → bigint mod p —
+    * identical in Spark and DuckDB, so the whole MinHash signature is
+    * oracle-verifiable.
+    */
+  private def shingleHash: Column =
+    expr("cast(conv(substring(md5(sh), 1, 8), 16, 10) as bigint)") % MinhashP
+
+  /** MinHash signatures: one groupBy with 16 min-aggregates (map-side
+    * partial aggregation — one shuffle of 16 longs per doc).
+    */
+  def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
+    val hs = shingles(s, dir).select(col("doc_id"), shingleHash.as("h"))
+    val aggs = (0 until NumHashes).map(i =>
+      min((lit(hashA(i)) * col("h") + lit(hashB(i))) % MinhashP).as(s"m$i"))
+    hs.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash+LSH near-dup: band the signature (4 bands × 4 rows), bucket
+    * by band hash, equi-join buckets for candidates, verify candidates
+    * with true Jaccard, keep ≥ threshold. The scale path: candidate
+    * generation is O(collisions), not O(n²).
+    */
+  def minhashLsh(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val sig = minhashSignatures(s, dir)
+    val r = NumHashes / NumBands
+    val bands = (0 until NumBands).map { b =>
+      val cols = (b * r until (b + 1) * r).map(i => col(s"m$i"))
+      sig.select(col("doc_id"), lit(b).as("band"),
+        md5(concat_ws(",", cols: _*)).as("bh"))
+    }.reduce(_.unionByName(_))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    // verify candidates with exact Jaccard over shingles
+    val sh = shingles(s, dir)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("x").join(sh.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("i"))
+    cand.join(inter, Seq("a", "b"))
+      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na"), "a")
+      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb"), "b")
+      .withColumn("jaccard", round(col("i").cast("double") /
+        (col("na") + col("nb") - col("i")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
+      .orderBy("a", "b")
+  }
+
+  // ------------------------------------------------------------ simhash
+
+  /** 62-bit SimHash from word-token MD5s: per token take two 31-bit
+    * halves of md5 as bit sources, majority-vote bits weighted by term
+    * frequency. Column-only (no UDF): per-bit sums via explode +
+    * conditional aggregation. 62 bits keeps the hash a positive BIGINT
+    * under ANSI overflow checking (and matches DuckDB's signed BIGINT).
+    */
+  val SimhashBits = 62
+
+  def simhash(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(col("doc_id"), explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .withColumn("h1", expr("cast(conv(substring(md5(tok), 1, 8), 16, 10) as bigint)"))
+      .withColumn("h2", expr("cast(conv(substring(md5(tok), 9, 8), 16, 10) as bigint)"))
+    // bit b: bits 0..30 from h1, 31..61 from h2
+    val bitSums = (0 until SimhashBits).map { b =>
+      val src = if (b < 31) col("h1") else col("h2")
+      val shift = b % 31
+      sum(when(shiftright(src, shift).bitwiseAND(1) === 1, col("tf"))
+        .otherwise(-col("tf"))).as(s"b$b")
+    }
+    val sums = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val hashExpr = (0 until SimhashBits).map { b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L)
+    }.reduce(_ + _)
+    sums.select(col("doc_id"), hashExpr.as("simhash")).orderBy("doc_id")
+  }
+}
