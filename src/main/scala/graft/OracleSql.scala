@@ -137,6 +137,54 @@ object OracleSql {
        |SELECT doc_id, $hashSum AS simhash FROM sums ORDER BY doc_id""".stripMargin
   }
 
+  /** DuckDB reconstruction of MediaOps.mediaTable — same deterministic
+    * payload bytes derived from doc_id, so the Spark binary path and the
+    * SQL arithmetic agree by construction.
+    */
+  private val mediaCte =
+    """media AS (SELECT doc_id,
+      |  (['image','audio','video'])[(doc_id % 3 + 1)::INT] AS media_type,
+      |  encode('HDR|' || (['image','audio','video'])[(doc_id % 3 + 1)::INT] ||
+      |   '|' || doc_id || '|' || repeat('x', (doc_id % 50)::INT * 3 + 8)) AS payload
+      | FROM documents)""".stripMargin
+
+  val mediaStats: String =
+    s"""WITH $mediaCte
+       |SELECT media_type, count(*) AS n,
+       | sum(octet_length(payload))::BIGINT AS total_bytes,
+       | min(octet_length(payload))::BIGINT AS min_bytes,
+       | max(octet_length(payload))::BIGINT AS max_bytes
+       |FROM media GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val imageMeta: String =
+    """SELECT doc_id,
+      | (320 + (doc_id % 10) * 32)::BIGINT AS width,
+      | (240 + (doc_id % 10) * 24)::BIGINT AS height,
+      | 3::BIGINT AS channels,
+      | ((320 + (doc_id % 10) * 32) * (240 + (doc_id % 10) * 24))::BIGINT AS n_pixels
+      |FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id""".stripMargin
+
+  val frameSample: String =
+    """WITH v AS (SELECT doc_id, (24 + doc_id % 72)::BIGINT AS n_frames
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |f AS (SELECT doc_id, n_frames,
+      |  unnest(range(0, n_frames, 12))::BIGINT AS frame_idx FROM v)
+      |SELECT doc_id, n_frames, frame_idx,
+      | 'frame://' || doc_id || '/' || frame_idx AS frame_ref
+      |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+
+  val resizePlan: String =
+    """WITH img AS (SELECT doc_id,
+      |  (320 + (doc_id % 10) * 32)::BIGINT AS width,
+      |  (240 + (doc_id % 10) * 24)::BIGINT AS height
+      | FROM documents WHERE doc_id % 3 = 0),
+      |sc AS (SELECT *, least(256.0 / width, 256.0 / height, 1.0) AS scale FROM img)
+      |SELECT doc_id, width, height,
+      | floor(width * scale)::BIGINT AS out_w,
+      | floor(height * scale)::BIGINT AS out_h,
+      | (floor(width * scale)::BIGINT * floor(height * scale)::BIGINT * 3) AS out_bytes
+      |FROM sc ORDER BY doc_id""".stripMargin
+
   /** Cosine with the exact same operation order as the Spark
     * aggregate/zip_with plan (sequential left fold over double casts) —
     * bit-identical IEEE math, so round(,4) always agrees.

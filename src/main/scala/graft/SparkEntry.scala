@@ -139,6 +139,15 @@ object SparkEntry {
         .orderBy(col("event_type"), col("day"))
     }),
 
+    // ---- relational scale patterns (DuckDB-verified)
+    "q7_rollup" -> ((s, dir) => graft.relational.Relational.rollupAgg(s, dir)),
+    "q8_asof_join" -> ((s, dir) => graft.relational.Relational.asofJoin(s, dir)),
+    "q9_anti_join" -> ((s, dir) => graft.relational.Relational.antiJoin(s, dir)),
+    "q10_semi_join" -> ((s, dir) => graft.relational.Relational.semiJoin(s, dir)),
+    "q11_setops" -> ((s, dir) => graft.relational.Relational.setOps(s, dir)),
+    "q12_salted_agg" -> ((s, dir) => graft.relational.Relational.saltedAgg(s, dir)),
+    "q13_sessions" -> ((s, dir) => graft.relational.Relational.sessionize(s, dir)),
+
     // ---- training-data text ops (DuckDB-verified formulas)
     "t1_token_count" -> ((s, dir) => graft.textops.TextOps.tokenCount(s, dir)),
     "t2_quality_score" -> ((s, dir) => graft.textops.TextOps.qualityScore(s, dir)),
@@ -148,6 +157,12 @@ object SparkEntry {
     "t6_ngram_jaccard" -> ((s, dir) => graft.textops.TextOps.ngramJaccard(s, dir, 0.2)),
     "t7_minhash_lsh" -> ((s, dir) => graft.textops.TextOps.minhashLsh(s, dir, 0.5)),
     "t8_simhash" -> ((s, dir) => graft.textops.TextOps.simhash(s, dir)),
+
+    // ---- multimodal media columns (binary payloads; DuckDB-verified)
+    "m1_media_stats" -> ((s, dir) => graft.media.MediaOps.mediaStats(s, dir)),
+    "m2_image_meta" -> ((s, dir) => graft.media.MediaOps.imageMeta(s, dir)),
+    "m3_frame_sample" -> ((s, dir) => graft.media.MediaOps.frameSample(s, dir)),
+    "m4_resize_plan" -> ((s, dir) => graft.media.MediaOps.resizePlan(s, dir)),
 
     // ---- similarity search over embeddings (DuckDB-verified)
     "s1_cosine_topk" -> ((s, dir) => graft.sim.Similarity.cosineTopK(s, dir, 10, 5)),
@@ -188,6 +203,58 @@ object SparkEntry {
       """SELECT event_type, date_trunc('day', ts) AS day,
         | count(*) AS n, round(sum(value), 2) AS total
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q7_rollup" ->
+      """SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS rf,
+        | CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS ls,
+        | round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+    "q8_asof_join" ->
+      """SELECT e.event_id AS error_id, e.user_id, e.ts AS error_ts,
+        | c.event_id AS last_click_id, c.ts AS last_click_ts,
+        | date_diff('second', c.ts, e.ts) AS gap_s
+        |FROM (SELECT * FROM events WHERE event_type = 'error') e
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        | ON e.user_id = c.user_id AND e.ts >= c.ts
+        |ORDER BY error_id""".stripMargin,
+    "q9_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "q10_semi_join" ->
+      """SELECT p_brand, count(*) AS n_parts,
+        | round(sum(p_retailprice), 2) AS retail_sum
+        |FROM part
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_partkey = p_partkey AND l_returnflag = 'R')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q11_setops" ->
+      """WITH large AS (SELECT p_brand FROM part WHERE p_size > 25),
+        | cheap AS (SELECT p_brand FROM part WHERE p_retailprice < 1200.0)
+        |SELECT p_brand, 'large_and_cheap' AS tag
+        | FROM (SELECT p_brand FROM large INTERSECT SELECT p_brand FROM cheap)
+        |UNION ALL
+        |SELECT p_brand, 'large_only' AS tag
+        | FROM (SELECT p_brand FROM large EXCEPT SELECT p_brand FROM cheap)
+        |ORDER BY tag, p_brand""".stripMargin,
+    "q12_salted_agg" ->
+      """SELECT user_id, count(*) AS n_events,
+        | sum(value::DECIMAL(18,2))::DOUBLE AS total_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q13_sessions" ->
+      """WITH o AS (SELECT user_id, ts, event_id,
+        |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        | FROM events),
+        |f AS (SELECT user_id, ts, event_id,
+        |  CASE WHEN prev_ts IS NULL OR date_diff('second', prev_ts, ts) > 1800
+        |   THEN 1 ELSE 0 END AS new_sess FROM o),
+        |g AS (SELECT user_id, ts,
+        |  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS UNBOUNDED PRECEDING) AS session_id FROM f)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        | date_diff('second', min(ts), max(ts)) AS duration_s
+        |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "t1_token_count" -> OracleSql.tokenCount,
     "t2_quality_score" -> OracleSql.qualityScore,
     "t3_lang_id" -> OracleSql.langId,
@@ -196,6 +263,10 @@ object SparkEntry {
     "t6_ngram_jaccard" -> OracleSql.ngramJaccard(0.2),
     "t7_minhash_lsh" -> OracleSql.minhashLsh(0.5),
     "t8_simhash" -> OracleSql.simhash,
+    "m1_media_stats" -> OracleSql.mediaStats,
+    "m2_image_meta" -> OracleSql.imageMeta,
+    "m3_frame_sample" -> OracleSql.frameSample,
+    "m4_resize_plan" -> OracleSql.resizePlan,
     "s1_cosine_topk" -> OracleSql.cosineTopK(10, 5),
     "s2_lsh_topk" -> OracleSql.lshTopK(10, 5),
     "s3_label_centroids" -> OracleSql.labelCentroids
