@@ -81,6 +81,24 @@ object SparkEntry {
     "x_rejects" -> ((s, dir) =>
       extracted(s, dir).filter(!col("success"))
         .select(col("doc_id"), col("error")).orderBy(col("doc_id"))),
+    "x_markdown" -> ((s, dir) => {
+      import s.implicits._
+      extracted(s, dir)
+        .map(d => (d.doc_id, graft.output.Assembly.assembleMarkdown(d)))
+        .toDF("doc_id", "markdown")
+        .select(col("doc_id"), length(col("markdown")).as("md_len"),
+          md5(col("markdown")).as("md_md5"))
+        .orderBy(col("doc_id"))
+    }),
+    "x_knowledge_json" -> ((s, dir) => {
+      import s.implicits._
+      extracted(s, dir)
+        .map(d => (d.doc_id, graft.output.Assembly.knowledgeJson(d)))
+        .toDF("doc_id", "knowledge")
+        .select(col("doc_id"), length(col("knowledge")).as("json_len"),
+          md5(col("knowledge")).as("json_md5"))
+        .orderBy(col("doc_id"))
+    }),
 
     // ---- relational coverage (DuckDB-verified)
     "q1_agg" -> ((s, dir) => {
