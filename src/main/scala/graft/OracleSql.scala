@@ -204,21 +204,31 @@ object OracleSql {
        |SELECT q_id, rank, vec_id, cos FROM r WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
 
   def lshTopK(nQueries: Int, k: Int): String = {
-    import graft.sim.Similarity.NumPlanes
-    def planeBit(p: Int): String =
+    import graft.sim.Similarity.{NumPlanes, NumTables}
+    def planeBit(i: Int, p: Int): String =
       s"""CASE WHEN list_reduce(list_transform(range(len(embedding)),
          |  d -> embedding[d+1]::DOUBLE *
-         |   (CASE WHEN ('0x' || substr(md5('$p' || ':' || d), 1, 8))::BIGINT % 2 = 1 THEN 1.0 ELSE -1.0 END)),
+         |   (CASE WHEN ('0x' || substr(md5('$i' || ':' || d), 1, 8))::BIGINT % 2 = 1 THEN 1.0 ELSE -1.0 END)),
          |  (x, y) -> x + y) >= 0 THEN ${1L << p}::BIGINT ELSE 0::BIGINT END""".stripMargin
-    val bucketExpr = (0 until NumPlanes).map(planeBit).mkString(" + ")
-    s"""WITH b AS (SELECT vec_id, embedding, ($bucketExpr) AS bucket FROM embeddings),
-       |q AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket AS q_bucket FROM b WHERE vec_id < $nQueries),
-       |j AS (SELECT q_id, vec_id, bucket,
+    val tableExprs = (0 until NumTables).map { t =>
+      (0 until NumPlanes).map(p => planeBit(t * NumPlanes + p, p)).mkString(" + ")
+    }
+    val bucketRows = tableExprs.zipWithIndex.map { case (e, t) =>
+      s"SELECT vec_id, $t AS tbl, ($e) AS bucket FROM embeddings"
+    }.mkString("\n UNION ALL\n ")
+    s"""WITH b AS (
+       | $bucketRows),
+       |qb AS (SELECT vec_id AS q_id, tbl AS q_tbl, bucket AS q_bucket FROM b WHERE vec_id < $nQueries),
+       |pairs AS (SELECT DISTINCT q_id, vec_id
+       | FROM b JOIN qb ON tbl = q_tbl AND bucket = q_bucket AND vec_id <> q_id),
+       |qe AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < $nQueries),
+       |j AS (SELECT p.q_id, p.vec_id,
        |  round(${cosineSql("q_emb", "embedding")}, 4) AS cos
-       | FROM b JOIN q ON bucket = q_bucket AND vec_id <> q_id),
-       |r AS (SELECT q_id, vec_id, cos, bucket,
+       | FROM pairs p JOIN embeddings e ON e.vec_id = p.vec_id
+       | JOIN qe ON qe.q_id = p.q_id),
+       |r AS (SELECT q_id, vec_id, cos,
        |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM j)
-       |SELECT q_id, rank, vec_id, cos, bucket FROM r WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
+       |SELECT q_id, rank, vec_id, cos FROM r WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
   }
 
   val labelCentroids: String =
