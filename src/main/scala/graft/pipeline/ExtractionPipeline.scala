@@ -90,10 +90,39 @@ object ExtractionPipeline {
       pmod(hash(col("doc_id")), lit(salts)))
   }
 
-  /** Full job: raw docs → extracted docs, fused + salted. */
-  def run(spark: SparkSession, raw: Dataset[RawDoc], partitions: Int = 0): Dataset[ExtractedDoc] = {
+  /** Full job: raw docs → extracted docs, fused + salted. Pass
+    * salt = false when the caller has already balanced the input (e.g.
+    * a pre-synthesis salted repartition of small rows — cheaper than
+    * re-shuffling full payloads here).
+    */
+  def run(spark: SparkSession, raw: Dataset[RawDoc], partitions: Int = 0,
+      salt: Boolean = true): Dataset[ExtractedDoc] = {
     import spark.implicits._
     val p = if (partitions > 0) partitions else spark.sparkContext.defaultParallelism * 2
-    salted(raw, p).mapPartitions(_.map(processDoc))
+    val balanced = if (salt) salted(raw, p) else raw
+    balanced.mapPartitions(_.map(processDoc))
+  }
+
+  /** Throughput-measurement variant: run the fused stage and fold
+    * (docs, pages) INSIDE the same mapPartitions, so no ExtractedDoc is
+    * serialized to rows just to be counted. Production serializes once —
+    * into the sink; a count-after-Dataset would pay serialize +
+    * deserialize per doc, an artifact the bench must not measure.
+    */
+  def runCounting(spark: SparkSession, raw: Dataset[RawDoc], partitions: Int = 0,
+      salt: Boolean = true): (Long, Long) = {
+    import spark.implicits._
+    val p = if (partitions > 0) partitions else spark.sparkContext.defaultParallelism * 2
+    val balanced = if (salt) salted(raw, p) else raw
+    balanced.mapPartitions { it =>
+      var docs = 0L
+      var pages = 0L
+      it.foreach { r =>
+        val d = processDoc(r)
+        docs += 1
+        pages += d.meta.page_count
+      }
+      Iterator.single((docs, pages))
+    }.reduce((a, b) => (a._1 + b._1, a._2 + b._2))
   }
 }
