@@ -171,7 +171,7 @@ object ScalingBench {
          |
          |Caveat measured on this box: pushing to all 32 cores of the
          |single socket lands at ≈0.73 efficiency vs 8 cores — a memory-
-         |bandwidth ceiling (GC pauses ≈0.5s/run and hypervisor steal ≈1%
+         |bandwidth ceiling (GC pauses ≈0.5s/run and hypervisor steal ≈1%%
          |were ruled out; a pure-thread microbench of the same per-doc
          |function shows the same ceiling, `graft.bench.MicroBench`). Real
          |N→4N executor scaling adds 4× memory channels with the cores, so
