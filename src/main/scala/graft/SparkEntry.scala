@@ -26,13 +26,28 @@ object SparkEntry {
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
+  /** The fused pipeline output, persisted once per (session, sfDir): ten
+    * x_* queries project different columns of the SAME extraction run —
+    * recomputing the full pipeline per query would be a 10× waste in
+    * Verify/Bench (and in any real consumer reading several facets).
+    */
+  private val extractedCache =
+    scala.collection.mutable.Map.empty[(SparkSession, String), Dataset[ExtractedDoc]]
+
   private def extracted(s: SparkSession, dir: String): Dataset[ExtractedDoc] =
-    ExtractionPipeline.run(s, DocGen.rawDocs(s, dir))
+    extractedCache.synchronized {
+      extractedCache.getOrElseUpdate((s, dir), {
+        val ds = ExtractionPipeline.run(s, DocGen.rawDocs(s, dir))
+        ds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        ds
+      })
+    }
 
   private def extractedOfKind(s: SparkSession, dir: String, kind: String): Dataset[ExtractedDoc] = {
     import s.implicits._
-    val raw: Dataset[RawDoc] = DocGen.rawDocs(s, dir).filter(_.content_kind == kind)
-    ExtractionPipeline.run(s, raw)
+    // content_kind is a pure function of the numeric doc id (DocGen mix),
+    // so filter the cached full extraction instead of re-running it
+    extracted(s, dir).filter(d => DocGen.kindOf(d.doc_id) == kind)
   }
 
   private def spansOf(ds: Dataset[ExtractedDoc]): DataFrame =

@@ -56,32 +56,41 @@ object Similarity {
   val NumPlanes = 4
   val NumTables = 8
 
-  /** Deterministic hyperplane component: global plane index i, dim d →
-    * pseudo-random sign from md5 — reproducible on any cluster, no RNG.
+  /** Deterministic hyperplane sign, computed ONCE on the driver: global
+    * plane index i, dim d → low bit of the first 8 hex chars of
+    * md5("i:d") — bit-identical to the oracle's SQL md5 derivation, but
+    * baked into the plan as literal arrays instead of re-hashing per row
+    * (md5-per-dim-per-plane in the expression tree cost ~50s at sf0.1).
     */
-  private def planeSignExpr(i: Int): String = {
-    // sign vector as an array column expression: md5 of "i:d" low bit
-    s"""transform(sequence(0, size(embedding) - 1),
-       | d -> CASE WHEN pmod(cast(conv(substring(md5(concat('$i', ':', d)), 1, 8), 16, 10) as bigint), 2) = 1
-       |   THEN 1D ELSE -1D END)""".stripMargin
+  private[sim] def planeSigns(i: Int, dim: Int): Array[Double] = {
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(dim) { d =>
+      val digest = md5.digest(s"$i:$d".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // SQL parity of conv(substring(md5, 1, 8), 16, 10) % 2 = low bit of byte 3
+      if ((digest(3) & 1) == 1) 1.0 else -1.0
+    }
   }
 
-  private def bucketExpr(table: Int) = {
+  private def bucketExpr(table: Int, dim: Int) = {
     val bitCols = (0 until NumPlanes).map { p =>
       val i = table * NumPlanes + p
+      val signs = planeSigns(i, dim).mkString(",")
       val dot = expr(
-        s"aggregate(zip_with(embedding, ${planeSignExpr(i)}, (x, y) -> cast(x AS double) * y), 0D, (acc, v) -> acc + v)")
+        s"aggregate(zip_with(embedding, array($signs), (x, y) -> cast(x AS double) * y), 0D, (acc, v) -> acc + v)")
       when(dot >= 0, lit(1L << p)).otherwise(0L)
     }
     bitCols.reduce(_ + _)
   }
 
   /** (vec_id, tbl, bucket) — one row per hash table per vector. */
-  def lshBuckets(s: SparkSession, dir: String): DataFrame =
-    embeddings(s, dir)
-      .withColumn("buckets", array((0 until NumTables).map(bucketExpr): _*))
+  def lshBuckets(s: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(s, dir)
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    emb
+      .withColumn("buckets", array((0 until NumTables).map(bucketExpr(_, dim)): _*))
       .select(col("vec_id"), col("label"),
         posexplode(col("buckets")).as(Seq("tbl", "bucket")))
+  }
 
   /** Multi-table LSH ANN: candidates = vectors sharing a (table, bucket)
     * with the query in ANY table, deduped, then exact cosine + top-k.

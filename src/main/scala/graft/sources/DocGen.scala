@@ -40,6 +40,15 @@ object DocGen {
     else synthText(id, text)
   }
 
+  /** content_kind of a synthesized doc, derived from its "doc<id>" id —
+    * the inverse of the mode split in `synthesize`.
+    */
+  def kindOf(docId: String): String = {
+    val id = docId.stripPrefix("doc").toLong
+    val mode = id % 10
+    if (mode < 5) "html" else if (mode < 8) "pdf_blocks" else "text"
+  }
+
   def rawDocs(spark: SparkSession, sfDir: String): Dataset[RawDoc] = {
     import spark.implicits._
     docsTable(spark, sfDir)

@@ -168,8 +168,11 @@ object TextOps {
   /** MinHash signatures: one groupBy with 16 min-aggregates (map-side
     * partial aggregation — one shuffle of 16 longs per doc).
     */
-  def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
-    val hs = shingles(s, dir).select(col("doc_id"), shingleHash.as("h"))
+  def minhashSignatures(s: SparkSession, dir: String): DataFrame =
+    minhashSignaturesFrom(shingles(s, dir))
+
+  private def minhashSignaturesFrom(sh: DataFrame): DataFrame = {
+    val hs = sh.select(col("doc_id"), shingleHash.as("h"))
     val aggs = (0 until NumHashes).map(i =>
       min((lit(hashA(i)) * col("h") + lit(hashB(i))) % MinhashP).as(s"m$i"))
     hs.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
@@ -181,7 +184,10 @@ object TextOps {
     * generation is O(collisions), not O(n²).
     */
   def minhashLsh(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
-    val sig = minhashSignatures(s, dir)
+    // one shingle computation feeds BOTH the signatures and the verify
+    // stage; candidates are tiny — cache both reuse points
+    val sh0 = shingles(s, dir).cache()
+    val sig = minhashSignaturesFrom(sh0)
     val r = NumHashes / NumBands
     val bands = (0 until NumBands).map { b =>
       val cols = (b * r until (b + 1) * r).map(i => col(s"m$i"))
@@ -193,8 +199,15 @@ object TextOps {
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
-    // verify candidates with exact Jaccard over shingles
-    val sh = shingles(s, dir)
+      .cache()
+    // verify candidates with exact Jaccard — but only over docs that
+    // appear in some candidate pair (semi-join prune): the all-pairs
+    // shingle intersection over the full corpus would dwarf the LSH
+    // saving it exists to avoid. Result-identical (inter is only ever
+    // joined back to cand).
+    val candDocs = cand.select(col("a").as("doc_id"))
+      .unionByName(cand.select(col("b").as("doc_id"))).distinct()
+    val sh = sh0.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("x").join(sh.as("y"),
         col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
