@@ -20,17 +20,19 @@ object Similarity {
   def embeddings(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
-  /** cosine(a, b) as a codegen'd column over two float-array columns. */
-  private def cosine(a: String, b: String) = expr(
-    s"""aggregate(zip_with($a, $b, (x, y) -> cast(x AS double) * cast(y AS double)), 0D, (acc, v) -> acc + v)
-       | / (sqrt(aggregate($a, 0D, (acc, v) -> acc + cast(v AS double) * cast(v AS double)))
-       |  * sqrt(aggregate($b, 0D, (acc, v) -> acc + cast(v AS double) * cast(v AS double))))""".stripMargin)
+  /** cosine(a, b) over two float-array columns — the native codegen'd
+    * CosineSim expression (graft.functions): same ascending sequential
+    * fold as the old aggregate/zip_with chain and the DuckDB oracle, but
+    * a tight generated loop instead of per-element interpreted lambdas.
+    */
+  private def cosine(a: String, b: String) = expr(s"cosine_sim($a, $b)")
 
   /** Brute-force cosine top-k: the first `nQueries` vec_ids against the
     * whole table; top `k` neighbors each (self excluded).
     */
   def cosineTopK(s: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.ensureRegistered(s)
     val emb = embeddings(s, dir)
     val queries = broadcast(
       emb.filter(col("vec_id") < nQueries)
@@ -100,6 +102,7 @@ object Similarity {
     */
   def lshTopK(s: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.ensureRegistered(s)
     val emb = embeddings(s, dir)
     val buckets = lshBuckets(s, dir)
     val qBuckets = broadcast(
