@@ -1,7 +1,8 @@
 package graft.pipeline
 
 import graft.model.{ExtractedDoc, RawDoc}
-import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import graft.sources.Storage
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Checkpoint/resume with per-partition lineage (the north rule's
@@ -34,10 +35,11 @@ object ResumableJob {
   def bucketOf(buckets: Int) = pmod(hash(col("doc_id")), lit(buckets))
 
   /** Buckets already completed for this snapshot (empty on first run). */
-  def completedBuckets(spark: SparkSession, outDir: String, snapshot: String): Set[Int] = {
+  def completedBuckets(spark: SparkSession, outDir: String, snapshot: String,
+      storage: Storage = Storage.default): Set[Int] = {
     val path = s"$outDir/lineage"
     try {
-      spark.read.parquet(path)
+      storage.read(spark, path)
         .filter(col("source_snapshot") === snapshot)
         .select("bucket").distinct()
         .collect().map(_.getInt(0)).toSet
@@ -52,9 +54,10 @@ object ResumableJob {
       raw: Dataset[RawDoc],
       outDir: String,
       buckets: Int,
-      snapshot: String): Int = {
+      snapshot: String,
+      storage: Storage = Storage.default): Int = {
     import spark.implicits._
-    val done = completedBuckets(spark, outDir, snapshot)
+    val done = completedBuckets(spark, outDir, snapshot, storage)
     val pending = raw
       .withColumn("bucket", bucketOf(buckets))
       .filter(!col("bucket").isin(done.toSeq: _*))
@@ -66,11 +69,8 @@ object ResumableJob {
     extracted.cache()
     try {
       // dynamic partition overwrite: only touched buckets are replaced
-      extracted.write
-        .partitionBy("bucket")
-        .option("partitionOverwriteMode", "dynamic")
-        .mode(SaveMode.Overwrite)
-        .parquet(s"$outDir/data")
+      // (Iceberg binding: writeTo(...).overwritePartitions() — same call)
+      storage.overwritePartitions(extracted.toDF(), s"$outDir/data", "bucket")
 
       val lineage = extracted.groupBy(col("bucket"))
         .agg(
@@ -80,14 +80,16 @@ object ResumableJob {
         .withColumn("source_snapshot", lit(snapshot))
         .as[LineageRow]
       val nBuckets = lineage.count().toInt
-      lineage.write.mode(SaveMode.Append).parquet(s"$outDir/lineage")
+      storage.append(lineage.toDF(), s"$outDir/lineage")
       nBuckets
     } finally extracted.unpersist()
   }
 
-  def readData(spark: SparkSession, outDir: String): DataFrame =
-    spark.read.parquet(s"$outDir/data")
+  def readData(spark: SparkSession, outDir: String,
+      storage: Storage = Storage.default): DataFrame =
+    storage.read(spark, s"$outDir/data")
 
-  def readLineage(spark: SparkSession, outDir: String): DataFrame =
-    spark.read.parquet(s"$outDir/lineage")
+  def readLineage(spark: SparkSession, outDir: String,
+      storage: Storage = Storage.default): DataFrame =
+    storage.read(spark, s"$outDir/lineage")
 }
