@@ -1,0 +1,28 @@
+package graft.bench
+
+import org.apache.spark.sql.SparkSession
+
+/** Prints `explain("formatted")` for representative queries so plan
+  * shape (PushedFilters, ReadSchema pruning, broadcast vs shuffle joins,
+  * WholeStageCodegen spans) can be audited against the 100 TB design
+  * intent. Usage: runMain graft.bench.PlanAudit [sfDir] [names...]
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val names = if (args.length > 1) args.drop(1).toSet else Set(
+      "q2_join_topk", "q3_multi_join", "t1_token_count", "s1_cosine_topk",
+      "q10_semi_join", "m3_frame_sample")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.SparkEntry.queries.filter(kv => names(kv._1)).foreach { case (name, fn) =>
+      println(s"\n==================== $name ====================")
+      fn(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}
