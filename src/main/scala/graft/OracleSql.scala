@@ -203,7 +203,10 @@ object OracleSql {
        |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM j)
        |SELECT q_id, rank, vec_id, cos FROM r WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
 
-  def lshTopK(nQueries: Int, k: Int): String = {
+  /** Sign-LSH bucket rows (one per table per vector) — mirrors
+    * Similarity.lshBuckets' md5-derived plane signs.
+    */
+  private def lshBucketRowsSql: String = {
     import graft.sim.Similarity.{NumPlanes, NumTables}
     def planeBit(i: Int, p: Int): String =
       s"""CASE WHEN list_reduce(list_transform(range(len(embedding)),
@@ -213,9 +216,13 @@ object OracleSql {
     val tableExprs = (0 until NumTables).map { t =>
       (0 until NumPlanes).map(p => planeBit(t * NumPlanes + p, p)).mkString(" + ")
     }
-    val bucketRows = tableExprs.zipWithIndex.map { case (e, t) =>
+    tableExprs.zipWithIndex.map { case (e, t) =>
       s"SELECT vec_id, $t AS tbl, ($e) AS bucket FROM embeddings"
     }.mkString("\n UNION ALL\n ")
+  }
+
+  def lshTopK(nQueries: Int, k: Int): String = {
+    val bucketRows = lshBucketRowsSql
     s"""WITH b AS (
        | $bucketRows),
        |qb AS (SELECT vec_id AS q_id, tbl AS q_tbl, bucket AS q_bucket FROM b WHERE vec_id < $nQueries),
@@ -228,6 +235,48 @@ object OracleSql {
        | JOIN qe ON qe.q_id = p.q_id),
        |r AS (SELECT q_id, vec_id, cos,
        |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM j)
+       |SELECT q_id, rank, vec_id, cos FROM r WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
+  }
+
+  def embeddingDedup(threshold: Double): String = {
+    val bucketRows = lshBucketRowsSql
+    s"""WITH b AS (
+       | $bucketRows),
+       |pairs AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+       | FROM b x JOIN b y ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+       |j AS (SELECT p.a, p.b,
+       |  round(${cosineSql("ea.embedding", "eb.embedding")}, 4) AS cos
+       | FROM pairs p JOIN embeddings ea ON ea.vec_id = p.a
+       | JOIN embeddings eb ON eb.vec_id = p.b)
+       |SELECT a, b, cos FROM j WHERE cos >= $threshold ORDER BY a, b""".stripMargin
+  }
+
+  /** float[] vs double[] centroid cosine — mirrors Similarity.cosineMixed. */
+  private def cosineMixedSql(a: String, c: String): String =
+    s"""(list_reduce(list_transform(range(len($a)), i -> $a[i+1]::DOUBLE * $c[i+1]), (x, y) -> x + y)
+       | / (sqrt(list_reduce(list_transform(range(len($a)), i -> $a[i+1]::DOUBLE * $a[i+1]::DOUBLE), (x, y) -> x + y))
+       |  * sqrt(list_reduce(list_transform(range(len($c)), i -> $c[i+1] * $c[i+1]), (x, y) -> x + y))))""".stripMargin
+
+  def ivfTopK(nQueries: Int, k: Int): String = {
+    import graft.sim.Similarity.NProbe
+    s"""WITH exp AS (SELECT label, unnest(embedding) AS v,
+       |  generate_subscripts(embedding, 1) - 1 AS dim FROM embeddings),
+       |cent AS (SELECT label, dim, round(avg(v), 4) + 0.0 AS mean_v FROM exp GROUP BY 1, 2),
+       |centarr AS (SELECT label AS c_label, list(mean_v ORDER BY dim) AS centroid
+       | FROM cent GROUP BY 1),
+       |asg0 AS (SELECT e.vec_id, e.embedding, c.c_label,
+       |  ${cosineMixedSql("e.embedding", "c.centroid")} AS cos_c
+       | FROM embeddings e CROSS JOIN centarr c),
+       |asg AS (SELECT vec_id, embedding, c_label AS cell FROM (
+       | SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, c_label) AS rn
+       | FROM asg0) WHERE rn = 1),
+       |probes AS (SELECT vec_id AS q_id, embedding AS q_emb, c_label AS probe_cell FROM (
+       | SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, c_label) AS rn
+       | FROM asg0 WHERE vec_id < $nQueries) WHERE rn <= $NProbe),
+       |j AS (SELECT q_id, vec_id, round(${cosineSql("q_emb", "embedding")}, 4) AS cos
+       | FROM asg JOIN probes ON cell = probe_cell AND vec_id <> q_id),
+       |r AS (SELECT q_id, vec_id, cos,
+       | row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM j)
        |SELECT q_id, rank, vec_id, cos FROM r WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
   }
 

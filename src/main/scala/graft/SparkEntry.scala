@@ -200,7 +200,9 @@ object SparkEntry {
     // ---- similarity search over embeddings (DuckDB-verified)
     "s1_cosine_topk" -> ((s, dir) => graft.sim.Similarity.cosineTopK(s, dir, 10, 5)),
     "s2_lsh_topk" -> ((s, dir) => graft.sim.Similarity.lshTopK(s, dir, 10, 5)),
-    "s3_label_centroids" -> ((s, dir) => graft.sim.Similarity.labelCentroids(s, dir))
+    "s3_label_centroids" -> ((s, dir) => graft.sim.Similarity.labelCentroids(s, dir)),
+    "s4_ivf_topk" -> ((s, dir) => graft.sim.Similarity.ivfTopK(s, dir, 10, 5)),
+    "t9_embedding_dedup" -> ((s, dir) => graft.sim.Similarity.embeddingDedup(s, dir, 0.40))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -302,6 +304,8 @@ object SparkEntry {
     "m4_resize_plan" -> OracleSql.resizePlan,
     "s1_cosine_topk" -> OracleSql.cosineTopK(10, 5),
     "s2_lsh_topk" -> OracleSql.lshTopK(10, 5),
-    "s3_label_centroids" -> OracleSql.labelCentroids
+    "s3_label_centroids" -> OracleSql.labelCentroids,
+    "s4_ivf_topk" -> OracleSql.ivfTopK(10, 5),
+    "t9_embedding_dedup" -> OracleSql.embeddingDedup(0.40)
   )
 }

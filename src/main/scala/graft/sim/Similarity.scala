@@ -139,4 +139,79 @@ object Similarity {
       .groupBy("label", "dim")
       .agg((round(avg(col("v")), 4) + lit(0.0)).as("mean_v"))
       .orderBy("label", "dim")
+
+  /** Embedding-cosine near-duplicate detection: candidate pairs from the
+    * multi-table LSH layout (no O(n²) scan), verified with exact cosine,
+    * kept at ≥ threshold. The dedup twin of lshTopK — at 10^9 vectors
+    * this is the "collapse same-content embeddings" pass of a training
+    * pipeline.
+    */
+  def embeddingDedup(s: SparkSession, dir: String, threshold: Double = 0.40): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val emb = embeddings(s, dir)
+    val buckets = lshBuckets(s, dir)
+    val pairs = buckets.as("x")
+      .join(buckets.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+      .distinct()
+    pairs
+      .join(emb.select(col("vec_id").as("a"), col("embedding").as("ea")), "a")
+      .join(emb.select(col("vec_id").as("b"), col("embedding").as("eb")), "b")
+      .withColumn("cos", round(cosine("ea", "eb"), 4))
+      .filter(col("cos") >= threshold)
+      .select(col("a"), col("b"), col("cos"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** Mixed-type cosine (float[] vs double[] centroid) via the HOF chain —
+    * tiny inputs (k centroids), mirrored exactly by the oracle.
+    */
+  private def cosineMixed(a: String, c: String) = expr(
+    s"""aggregate(zip_with($a, $c, (x, y) -> cast(x AS double) * y), 0D, (acc, v) -> acc + v)
+       | / (sqrt(aggregate($a, 0D, (acc, v) -> acc + cast(v AS double) * cast(v AS double)))
+       |  * sqrt(aggregate($c, 0D, (acc, v) -> acc + v * v)))""".stripMargin)
+
+  val NProbe = 2
+
+  /** IVF ANN: coarse-quantize each vector to its nearest label centroid
+    * (the cell), probe the query's NProbe nearest cells, exact top-k
+    * within the probed cells only. Centroid components are rounded to 4
+    * decimals so both engines quantize identically. At 10^9 vectors the
+    * centroid table is broadcast (k ≈ √n cells) and the probe join
+    * replaces the full scan with ~NProbe/k of the data.
+    */
+  def ivfTopK(s: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val emb = embeddings(s, dir)
+    val centroids = broadcast(
+      labelCentroids(s, dir)
+        .groupBy(col("label").as("c_label"))
+        .agg(expr("transform(array_sort(collect_list(struct(dim, mean_v))), s -> s.mean_v)")
+          .as("centroid")))
+    val wCell = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_c").desc, col("c_label"))
+    val assigned = emb.join(centroids)
+      .withColumn("cos_c", cosineMixed("embedding", "centroid"))
+      .withColumn("rn", row_number().over(wCell))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("c_label").as("cell"))
+    val probes = broadcast(
+      emb.filter(col("vec_id") < nQueries).join(centroids)
+        .withColumn("cos_c", cosineMixed("embedding", "centroid"))
+        .withColumn("rn", row_number().over(wCell))
+        .filter(col("rn") <= NProbe)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("c_label").as("probe_cell")))
+    val wK = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    assigned
+      .join(probes, col("cell") === col("probe_cell") && col("vec_id") =!= col("q_id"))
+      .withColumn("cos", round(cosine("q_emb", "embedding"), 4))
+      .withColumn("rank", row_number().over(wK).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
 }
