@@ -41,6 +41,7 @@ object ExtractionPipeline {
           Right(
             if (raw.text.trim.isEmpty) Seq.empty
             else Seq(Span(SpanKinds.Text, raw.text, "", 0)))
+        case "csv" => Right(graft.sources.CsvText.extract(raw.text))
         case other => Left(s"unsupported content_kind: $other")
       }
       spansOrErr match {
@@ -101,6 +102,21 @@ object ExtractionPipeline {
     val p = if (partitions > 0) partitions else spark.sparkContext.defaultParallelism * 2
     val balanced = if (salt) salted(raw, p) else raw
     balanced.mapPartitions(_.map(processDoc))
+  }
+
+  /** Corpus-level metrics via `observe()` — the Spark counterpart of the
+    * reference's pipeline metrics (`base_extractor.py:111-157`): doc /
+    * reject / span / entity counts ride along with the job, collected by
+    * a QueryExecutionListener or `Observation` without a second pass.
+    */
+  def withMetrics(out: Dataset[ExtractedDoc],
+      observation: org.apache.spark.sql.Observation): Dataset[ExtractedDoc] = {
+    import org.apache.spark.sql.functions._
+    out.observe(observation,
+      count(lit(1)).as("docs"),
+      sum(when(!col("success"), 1L).otherwise(0L)).as("rejects"),
+      sum(size(col("spans"))).as("spans"),
+      sum(size(col("entities"))).as("entities"))
   }
 
   /** Throughput-measurement variant: run the fused stage and fold

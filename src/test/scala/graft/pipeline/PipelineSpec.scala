@@ -98,4 +98,17 @@ class PipelineSpec extends AnyFunSuite {
     // idempotent: a third run computes nothing
     assert(ResumableJob.runResumable(spark, raw, tmp, buckets, "snap1") === 0)
   }
+
+  test("P3 observe: corpus metrics ride along with the job") {
+    import org.apache.spark.sql.Observation
+    val raw = DocGen.rawDocs(spark, sfDir)
+    val obs = Observation("graft")
+    val out = ExtractionPipeline.withMetrics(ExtractionPipeline.run(spark, raw), obs)
+    val total = out.count()
+    val m = obs.get
+    assert(m("docs") === total)
+    assert(m("rejects").asInstanceOf[Long] >= 0L)
+    assert(m("spans").asInstanceOf[Long] > 0L)
+    assert(m("entities").asInstanceOf[Long] > 0L)
+  }
 }
