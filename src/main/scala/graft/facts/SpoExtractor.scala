@@ -18,7 +18,11 @@ object SpoExtractor {
 
   private def P(s: String) = java.util.regex.Pattern.compile(s)
 
-  // pattern, fact_type, predicate, baseConfidence, actionable
+  // pattern, fact_type, predicate, baseConfidence, actionable.
+  // `triggers` is a CNF keyword gate (each clause needs >= 1 lowercase
+  // substring hit) — the reference's own short-circuit idiom (CFR gate,
+  // `service_processor.py:991`): the regex cannot match unless every
+  // clause is present, so gated sentences skip the regex entirely.
   private final case class FactPattern(
       rx: java.util.regex.Pattern,
       factType: String,
@@ -26,45 +30,46 @@ object SpoExtractor {
       base: Double,
       actionable: Boolean,
       subjectGroup: Int,
-      objectGroup: Int)
+      objectGroup: Int,
+      triggers: Seq[Seq[String]])
 
   private val patterns: Seq[FactPattern] = Seq(
     // "X shall/must be completed on or before DATE" (FIXTURES F1)
     FactPattern(
       P("(?i)\\b([A-Z][\\w ,'-]{2,60}?)\\s+(?:shall|must)\\s+be\\s+([\\w ,'-]{3,80}?)(?:\\.|$|;)"),
-      "requirement", "REQUIRED_TO", 0.8, actionable = true, 1, 2),
+      "requirement", "REQUIRED_TO", 0.8, actionable = true, 1, 2, Seq(Seq("shall", "must"))),
     // "X shall/must VERB ..." (modal requirement)
     FactPattern(
       P("(?i)\\b([A-Z][\\w ,'-]{2,60}?)\\s+(?:shall|must)\\s+((?!be\\b)[\\w ,'-]{3,80}?)(?:\\.|$|;)"),
-      "requirement", "MUST", 0.78, actionable = true, 1, 2),
+      "requirement", "MUST", 0.78, actionable = true, 1, 2, Seq(Seq("shall", "must"))),
     // "X should ..." (weaker modal)
     FactPattern(
       P("(?i)\\b([A-Z][\\w ,'-]{2,60}?)\\s+should\\s+([\\w ,'-]{3,80}?)(?:\\.|$|;)"),
-      "recommendation", "SHOULD", 0.7, actionable = true, 1, 2),
+      "recommendation", "SHOULD", 0.7, actionable = true, 1, 2, Seq(Seq("should"))),
     // "within 30 days" (FIXTURES F2)
     FactPattern(
       P("(?i)within\\s+(\\d+\\s+(?:days?|hours?|weeks?|months?|years?|business days?))"),
-      "time_requirement", "HAS_VALUE", 0.8, actionable = true, -1, 1),
+      "time_requirement", "HAS_VALUE", 0.8, actionable = true, -1, 1, Seq(Seq("within"))),
     // financial impact: "a fine of $X" / "cost(s) $X" / "penalty of $X"
     FactPattern(
       P("(?i)\\b(fine|penalty|cost|fee|budget|damages)s?\\s+(?:of|up to|totaling|exceeding)?\\s*([$€£]\\s?[\\d,.]+(?:\\s?(?:k|m|b|million|billion|thousand))?)"),
-      "financial_impact", "HAS_AMOUNT", 0.8, actionable = false, 1, 2),
+      "financial_impact", "HAS_AMOUNT", 0.8, actionable = false, 1, 2, Seq(Seq("fine", "penalt", "cost", "fee", "budget", "damage"), Seq("$", "\u20ac", "\u00a3"))),
     // regulation citation: "in accordance with / pursuant to / under <reg>"
     FactPattern(
       P("(?i)(?:in accordance with|pursuant to|as required by|under)\\s+(\\d+\\s+(?:CFR|USC)\\s*§?\\s*[\\d.]+(?:\\([a-z0-9]+\\))*)"),
-      "regulation_citation", "CITES", 0.85, actionable = false, -1, 1),
+      "regulation_citation", "CITES", 0.85, actionable = false, -1, 1, Seq(Seq("cfr", "usc"))),
     // "X is responsible for Y"
     FactPattern(
       P("(?i)\\b([A-Z][\\w ,'-]{2,60}?)\\s+(?:is|are)\\s+responsible\\s+for\\s+([\\w ,'-]{3,80}?)(?:\\.|$|;)"),
-      "responsibility", "RESPONSIBLE_FOR", 0.8, actionable = true, 1, 2),
+      "responsibility", "RESPONSIBLE_FOR", 0.8, actionable = true, 1, 2, Seq(Seq("responsible"))),
     // "X requires Y"
     FactPattern(
       P("(?i)\\b([A-Z][\\w ,'-]{2,60}?)\\s+requires?\\s+([\\w ,'-]{3,80}?)(?:\\.|$|;)"),
-      "requirement", "REQUIRES", 0.76, actionable = true, 1, 2),
+      "requirement", "REQUIRES", 0.76, actionable = true, 1, 2, Seq(Seq("require"))),
     // "X was/were VERBed by Y" (passive action)
     FactPattern(
       P("(?i)\\b([A-Z][\\w ,'-]{2,60}?)\\s+(?:was|were)\\s+(approved|rejected|completed|issued|filed|submitted|inspected|reviewed)\\s+by\\s+([\\w ,'.-]{3,60}?)(?:\\.|$|;)"),
-      "action", "ACTED_ON_BY", 0.77, actionable = false, 1, 3))
+      "action", "ACTED_ON_BY", 0.77, actionable = false, 1, 3, Seq(Seq("was", "were"), Seq(" by"))))
 
   /** Quality gate mirroring `_is_high_quality_fact`: complete thought
     * (ends at sentence-ish boundary), informative lengths, not all
@@ -89,7 +94,9 @@ object SpoExtractor {
     val sentences = Core8Extractor.splitSentences(cleanText)
     val out = new ArrayBuffer[Fact]
     sentences.foreach { case (sentence, sentStart) =>
+      val sentLower = sentence.toLowerCase
       patterns.foreach { fp =>
+        if (fp.triggers.forall(clause => clause.exists(sentLower.contains))) {
         val m = fp.rx.matcher(sentence)
         while (m.find()) {
           val subject =
@@ -113,6 +120,7 @@ object SpoExtractor {
               end = sentStart + m.end(),
               actionable = fp.actionable)
           }
+        }
         }
       }
     }
