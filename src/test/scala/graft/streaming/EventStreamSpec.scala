@@ -84,4 +84,27 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sess.contains((1L, 0L, 20L, 3L, 3.0)), s"first session wrong: $sess")
     assert(sess.contains((1L, 60L, 60L, 1L, 2.5)), s"timed-out session wrong: $sess")
   }
+
+  test("ST3: streaming doc extraction — raw docs in, extracted spans append out") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[graft.model.RawDoc]
+    val q = DocStream.extract(spark, mem.toDS())
+      .writeStream.format("memory").queryName("st3")
+      .outputMode("append").start()
+    mem.addData(
+      graft.sources.DocGen.synthesize(1L, "Inspection completed. Reports shall be filed."),
+      graft.sources.DocGen.synthesize(8L, "Plain text body with a date March 5, 2024."))
+    q.processAllAvailable()
+    mem.addData(graft.sources.DocGen.synthesize(97L * 12, "giant reject candidate"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("st3").select("doc_id", "success").collect()
+      .map(r => (r.getString(0), r.getBoolean(1))).toMap
+    assert(out.size == 3)
+    assert(out("doc1") && out("doc8"))
+    val spans = spark.table("st3").selectExpr("doc_id", "size(spans) AS n").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toMap
+    assert(spans("doc1") > 0)
+  }
 }
