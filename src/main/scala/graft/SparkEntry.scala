@@ -96,6 +96,31 @@ object SparkEntry {
     "x_rejects" -> ((s, dir) =>
       extracted(s, dir).filter(!col("success"))
         .select(col("doc_id"), col("error")).orderBy(col("doc_id"))),
+    "x_fact_summary" -> ((s, dir) => {
+      import s.implicits._
+      extracted(s, dir)
+        .map { d =>
+          val sm = graft.facts.SpoExtractor.summarize(d.facts)
+          (d.doc_id, sm.total_facts.toLong, sm.actionable_facts.toLong,
+            sm.fact_types.toSeq.sorted.map { case (k, v) => s"$k:$v" }.mkString(","))
+        }
+        .toDF("doc_id", "total_facts", "actionable_facts", "fact_types")
+        .orderBy(col("doc_id"))
+    }),
+    "x_normalized_text" -> ((s, dir) => {
+      import s.implicits._
+      // N11 global replacement + N12 stats on the pipeline's clean text
+      extracted(s, dir)
+        .map { d =>
+          val clean = graft.extract.Core8Extractor.truncate(
+            graft.extract.Core8Extractor.cleanFormatting(d.spans.map(_.text).mkString("\n")))
+          val r = graft.normalize.Normalizer.run(clean, d.entities)
+          (d.doc_id, r.mentionCount.toLong, r.canonicalCount.toLong, r.reductionPct,
+            r.normalizedText.length.toLong)
+        }
+        .toDF("doc_id", "mentions", "canonical", "reduction_pct", "norm_len")
+        .orderBy(col("doc_id"))
+    }),
     "x_markdown" -> ((s, dir) => {
       import s.implicits._
       extracted(s, dir)
