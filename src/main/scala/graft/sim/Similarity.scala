@@ -84,14 +84,23 @@ object Similarity {
     bitCols.reduce(_ + _)
   }
 
-  /** (vec_id, tbl, bucket) — one row per hash table per vector. */
-  def lshBuckets(s: SparkSession, dir: String): DataFrame = {
-    val emb = embeddings(s, dir)
-    val dim = emb.select(size(col("embedding"))).head().getInt(0)
-    emb
-      .withColumn("buckets", array((0 until NumTables).map(bucketExpr(_, dim)): _*))
-      .select(col("vec_id"), col("label"),
-        posexplode(col("buckets")).as(Seq("tbl", "bucket")))
+  /** (vec_id, tbl, bucket) — one row per hash table per vector.
+    * Persisted once per (session, dir): s2 and t9 both probe it.
+    */
+  private val bucketCache =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+
+  def lshBuckets(s: SparkSession, dir: String): DataFrame = bucketCache.synchronized {
+    bucketCache.getOrElseUpdate((s, dir), {
+      val emb = embeddings(s, dir)
+      val dim = emb.select(size(col("embedding"))).head().getInt(0)
+      val df = emb
+        .withColumn("buckets", array((0 until NumTables).map(bucketExpr(_, dim)): _*))
+        .select(col("vec_id"), col("label"),
+          posexplode(col("buckets")).as(Seq("tbl", "bucket")))
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df
+    })
   }
 
   /** Multi-table LSH ANN: candidates = vectors sharing a (table, bucket)

@@ -118,22 +118,31 @@ object TextOps {
 
   /** Distinct word-3-gram shingles per doc — the shared base of the
     * n-gram Jaccard and MinHash ops. Shuffle key = shingle string.
+    * Persisted once per (session, dir): t5-t7 all start from this frame.
     */
-  def shingles(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
-      .select(col("doc_id"), expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("t"))
-      .filter(size(col("t")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(t)-3), " +
-        "i -> concat_ws(' ', element_at(t, i+1), element_at(t, i+2), element_at(t, i+3)))")).as("sh"))
-      .distinct()
+  private val shingleCache =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+
+  def shingles(s: SparkSession, dir: String): DataFrame = shingleCache.synchronized {
+    shingleCache.getOrElseUpdate((s, dir), {
+      val df = docs(s, dir)
+        .select(col("doc_id"), expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("t"))
+        .filter(size(col("t")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(t)-3), " +
+          "i -> concat_ws(' ', element_at(t, i+1), element_at(t, i+2), element_at(t, i+3)))")).as("sh"))
+        .distinct()
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df
+    })
+  }
 
   /** N-gram Jaccard near-dup baseline: pairs sharing a shingle →
     * |∩| / |∪| ≥ threshold. Join on shingle (equi-join shuffle), never a
     * cross join — candidate pairs are bounded by shingle co-occurrence.
     */
   def ngramJaccard(s: SparkSession, dir: String, threshold: Double = 0.2): DataFrame = {
-    val sh = shingles(s, dir).cache()
+    val sh = shingles(s, dir)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("x").join(sh.as("y"),
         col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
@@ -185,8 +194,8 @@ object TextOps {
     */
   def minhashLsh(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
     // one shingle computation feeds BOTH the signatures and the verify
-    // stage; candidates are tiny — cache both reuse points
-    val sh0 = shingles(s, dir).cache()
+    // stage (persisted by the shingles() memo); candidates are tiny
+    val sh0 = shingles(s, dir)
     val sig = minhashSignaturesFrom(sh0)
     val r = NumHashes / NumBands
     val bands = (0 until NumBands).map { b =>
