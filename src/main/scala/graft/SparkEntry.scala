@@ -96,6 +96,10 @@ object SparkEntry {
     "x_rejects" -> ((s, dir) =>
       extracted(s, dir).filter(!col("success"))
         .select(col("doc_id"), col("error")).orderBy(col("doc_id"))),
+    "x_domain_entities" -> ((s, dir) =>
+      extracted(s, dir)
+        .select(col("doc_id"), explode(col("meta.domain_entities")).as("domain_entity"))
+        .orderBy(col("doc_id"), col("domain_entity"))),
     "x_fact_summary" -> ((s, dir) => {
       import s.implicits._
       extracted(s, dir)

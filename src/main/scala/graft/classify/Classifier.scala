@@ -65,6 +65,31 @@ object Classifier {
     out.result()
   }
 
+  private lazy val entityPatterns: Seq[String] =
+    Corpora.domainEntities.valuesIterator.flatten.toSeq.distinct.sorted
+  private lazy val entityDomains: Map[String, Seq[String]] =
+    entityPatterns.map { e =>
+      e -> Corpora.domainEntities.toSeq.sortBy(_._1)
+        .collect { case (d, es) if es.contains(e) => d }
+    }.toMap
+
+  private def entityAc = AhoCorasick.cached("classify.domainEntities", entityPatterns)
+
+  /** C4: domain entity extraction — third automaton over per-domain
+    * entity lists, filtered to the target domains, whole-word validated,
+    * order-preserving dedup, cap 30 (`aho_corasick_engine.py:250-280`).
+    * Returns "domain/entity" strings in first-occurrence order.
+    */
+  def extractDomainEntities(text: String, targetDomains: Set[String]): Seq[String] = {
+    val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+    entityAc.findWholeWords(text).foreach { h =>
+      entityDomains.getOrElse(h.pattern, Nil).foreach { d =>
+        if (targetDomains.contains(d)) seen += s"$d/${h.pattern}"
+      }
+    }
+    seen.toSeq.take(30)
+  }
+
   def classify(text: String): Classification = {
     val domains = scoreFamily(text, domainAc, domainByKw, _ => 1.0, "general")
     val doctypes = scoreFamily(text, doctypeAc, doctypeByKw, _ => 1.0, "document")

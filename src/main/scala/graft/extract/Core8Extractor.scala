@@ -314,6 +314,7 @@ object Core8Extractor {
       if (t.contains("CFR") || t.contains("USC") || t.contains("C.F.R") || t.contains("U.S.C"))
         regexAll(PatternBank.regulation, t, "REGULATION")
       else Nil
+    val rangeInds = regexAll(PatternBank.rangeIndicator, t, "RANGE_INDICATOR")
     val persons = extractPersons(t)
     val orgs = extractOrgs(t)
     val gpes = extractGpe(t)
@@ -328,12 +329,29 @@ object Core8Extractor {
       cap("EMAIL", dedupLongestFirst(emails)) ++
       cap("URL", dedupLongestFirst(urls)) ++
       cap("REGULATION", dedupLongestFirst(regs)) ++
+      cap("RANGE_INDICATOR", dedupLongestFirst(rangeInds)) ++
       cap("PERSON", dedupLongestFirst(persons)) ++
       cap("ORG", orgs.take(PatternBank.caps("ORG"))) ++
       cap("GPE", gpes) ++
       cap("LOC", locs)
 
     resolveConflicts(all).sortBy(e => (e.start, e.`type`))
+  }
+
+  /** E13: range-flagging hybrid — an entity is range-modified when a
+    * RANGE_INDICATOR ends within 2 chars before its start (indicator
+    * before the number) or starts within 2 chars after its end
+    * (`service_processor.py:3042-3140`). Returns the set of flagged
+    * (start, end) keys.
+    */
+  def rangeAdjacent(entities: Seq[EntityMention]): Set[(Int, Int)] = {
+    val inds = entities.filter(_.`type` == "RANGE_INDICATOR")
+    entities.collect {
+      case e if e.`type` != "RANGE_INDICATOR" && inds.exists(i =>
+        (e.start - i.end >= 0 && e.start - i.end <= 2) ||
+        (i.start - e.end >= 0 && i.start - e.end <= 2)) =>
+        (e.start, e.end)
+    }.toSet
   }
 
   /** Pipeline entry: markdown text → cleanup → truncate → extract. */

@@ -48,6 +48,23 @@ object Corpora {
       "attorney" -> 2.0, "contract" -> 1.5, "liability" -> 2.0,
       "jurisdiction" -> 2.5, "settlement" -> 2.0, "breach" -> 2.0))
 
+  /** Per-domain entity terms (C4: third automaton, filtered to target
+    * domains; reference `aho_corasick_engine.py:250-280`) — named
+    * entities/standards, distinct from the classification keywords.
+    */
+  val domainEntities: Map[String, Seq[String]] = Map(
+    "safety" -> Seq("osha", "niosh", "ansi z359", "hearing protection",
+      "fall arrest system", "guardrail", "scba", "hazcom"),
+    "regulatory" -> Seq("federal register", "office of management and budget",
+      "administrative procedure act", "notice of proposed rulemaking"),
+    "financial" -> Seq("sec", "gaap", "sarbanes-oxley", "form 10-k", "irs"),
+    "medical" -> Seq("fda", "cdc", "hipaa", "icd-10", "clinical trial"),
+    "environmental" -> Seq("epa", "clean air act", "clean water act",
+      "superfund", "rcra"),
+    "technology" -> Seq("tls", "oauth", "kubernetes", "postgresql", "rest api"),
+    "legal" -> Seq("supreme court", "district court", "habeas corpus",
+      "class action", "summary judgment"))
+
   /** Document-type → (keyword → weight), per `aho_corasick_engine.py:214-248`. */
   val doctypeKeywords: Map[String, Map[String, Double]] = Map(
     "report" -> Map(

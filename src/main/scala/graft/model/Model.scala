@@ -106,7 +106,8 @@ final case class DocMeta(
     primary_domain: String,
     primary_domain_confidence: Double,
     primary_document_type: String,
-    domains: Map[String, Double])
+    domains: Map[String, Double],
+    domain_entities: Seq[String] = Seq.empty) // C4: "domain/entity" hits (deep-domain route only)
 
 /** Full per-document pipeline output (FIXTURES.md §3). */
 final case class ExtractedDoc(

@@ -63,13 +63,20 @@ object ExtractionPipeline {
           val canonical = Normalizer.canonicalize(entities)
           // stage 6: semantic facts on the clean text
           val facts = SpoExtractor.extract(cleanText)
+          // C4: deep-domain entity pass only on the high-confidence route
+          // (routing per reference `service_processor.py:1922-1927`)
+          val domainEntities =
+            if (cls.enableDeepDomainExtraction)
+              Classifier.extractDomainEntities(cleanText, cls.domains.keySet)
+            else Seq.empty
           val meta = DocMeta(
             content_detection = flags,
             page_count = raw.page_count,
             primary_domain = cls.primaryDomain,
             primary_domain_confidence = cls.primaryDomainConfidence,
             primary_document_type = cls.primaryDocType,
-            domains = cls.domains)
+            domains = cls.domains,
+            domain_entities = domainEntities)
           ExtractedDoc(raw.doc_id, spans, meta, entities, canonical, facts,
             success = true, error = "")
       }

@@ -121,4 +121,30 @@ class Core8ExtractorSpec extends AnyFunSuite {
     val es2 = es :+ EntityMention("OSHA Region 5", "OSHA Region 5", "ORG", 60, 73)
     assert(Core8Extractor.dedupLongestFirst(es2).map(_.text) === Seq("OSHA Region 5", "osha"))
   }
+
+  test("E13: range indicators extracted and adjacency flags measurements") {
+    val t = "Guardrails must be up to 42 inches tall."
+    val ents = Core8Extractor.extractAll(t)
+    val inds = ents.filter(_.`type` == "RANGE_INDICATOR")
+    assert(inds.map(_.value) == Seq("up to"), s"indicators: $inds")
+    val flagged = Core8Extractor.rangeAdjacent(ents)
+    val meas = ents.find(_.`type` == "MEASUREMENT").get
+    assert(flagged.contains((meas.start, meas.end)),
+      s"measurement after 'up to' not flagged: $ents / $flagged")
+  }
+
+  test("C4: domain entities only on deep-domain route, filtered to target domains") {
+    val text = "OSHA fall protection hazard: lockout tagout scaffold ppe osha " +
+      "respirator workplace safety. NIOSH and guardrail standards apply. " +
+      "Kubernetes cluster mentioned once."
+    val cls = graft.classify.Classifier.classify(text)
+    assert(cls.enableDeepDomainExtraction, s"confidence ${cls.primaryDomainConfidence}")
+    val es = graft.classify.Classifier.extractDomainEntities(text, cls.domains.keySet)
+    assert(es.contains("safety/osha") && es.contains("safety/niosh") &&
+      es.contains("safety/guardrail"), s"got $es")
+    // technology not among scored domains -> kubernetes filtered out
+    if (!cls.domains.contains("technology")) assert(!es.exists(_.startsWith("technology/")))
+    // dedup preserves first occurrence, single osha entry
+    assert(es.count(_ == "safety/osha") == 1)
+  }
 }
