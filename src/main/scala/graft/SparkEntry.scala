@@ -209,6 +209,8 @@ object SparkEntry {
     "q11_setops" -> ((s, dir) => graft.relational.Relational.setOps(s, dir)),
     "q12_salted_agg" -> ((s, dir) => graft.relational.Relational.saltedAgg(s, dir)),
     "q13_sessions" -> ((s, dir) => graft.relational.Relational.sessionize(s, dir)),
+    "q14_cube" -> ((s, dir) => graft.relational.Relational.cubeAgg(s, dir)),
+    "q15_percentiles" -> ((s, dir) => graft.relational.Relational.percentiles(s, dir)),
 
     // ---- training-data text ops (DuckDB-verified formulas)
     "t1_token_count" -> ((s, dir) => graft.textops.TextOps.tokenCount(s, dir)),
@@ -319,6 +321,18 @@ object SparkEntry {
         |SELECT user_id, session_id, count(*) AS n_events,
         | date_diff('second', min(ts), max(ts)) AS duration_s
         |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q14_cube" ->
+      """SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE o_orderstatus END AS status,
+        | CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' ELSE o_orderpriority END AS priority,
+        | count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+    "q15_percentiles" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        | round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+        | round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "t1_token_count" -> OracleSql.tokenCount,
     "t2_quality_score" -> OracleSql.qualityScore,
     "t3_lang_id" -> OracleSql.langId,

@@ -116,6 +116,35 @@ object Relational {
       .orderBy(col("tag"), col("p_brand"))
   }
 
+  /** CUBE over (status, priority): all four grouping combinations in one
+    * Expand + single shuffle.
+    */
+  def cubeAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"),
+        grouping(col("o_orderstatus")).as("g_s"),
+        grouping(col("o_orderpriority")).as("g_p"))
+      .select(
+        when(col("g_s") === 1, lit("ALL")).otherwise(col("o_orderstatus")).as("status"),
+        when(col("g_p") === 1, lit("ALL")).otherwise(col("o_orderpriority")).as("priority"),
+        col("n"), col("total"))
+      .orderBy(col("status"), col("priority"))
+
+  /** Exact interpolated percentiles per group — `percentile()` is a
+    * single-pass sort-based aggregate; both engines use the same
+    * a + (b-a)·frac interpolation.
+    */
+  def percentiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+      .orderBy(col("l_returnflag"))
+
   val Salts = 16
 
   /** Salted two-phase aggregation: the skew pattern for hot keys. Phase 1
