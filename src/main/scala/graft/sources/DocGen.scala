@@ -80,7 +80,10 @@ object DocGen {
       s"Contact $first $last at (555) ${100 + id % 900}-${1000 + id % 9000} regarding the audit.",
       s"The inspection is scheduled for $month $day, $year at ${(id % 11 + 1)}:${if (id % 2 == 0) "30" else "15"} PM in $city.",
       s"Violations carry a penalty of $$${"%,d".format(amount)} under 29 CFR 1926.${(id % 400 + 100)}.",
-      s"Guardrails must measure $inches-${inches + 7} inches and reports shall be filed within $days days.") ++
+      s"Guardrails must measure $inches-${inches + 7} inches and reports shall be filed within $days days.",
+      // second mention variant of the same person: canonicalization (N2)
+      // must group "Mr. <last>" with "<first> <last>" into one id
+      s"Mr. $last approved the findings.") ++
       // every 3rd doc leans hard into safety/regulatory so the
       // deep-domain route (confidence >= 60) and its C4 entity pass fire
       (if (id % 3 == 0)
