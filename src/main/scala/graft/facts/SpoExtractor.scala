@@ -36,15 +36,15 @@ object SpoExtractor {
   private val patterns: Seq[FactPattern] = Seq(
     // "X shall/must be completed on or before DATE" (FIXTURES F1)
     FactPattern(
-      P("(?i)\\b([A-Z][\\w ,'-]{2,60}?)\\s+(?:shall|must)\\s+be\\s+([\\w ,'-]{3,80}?)(?:\\.|$|;)"),
+      P("(?i)\\b([A-Z][\\w ,'-]{2,60}?)\\s+(?:shall|must)\\s+be\\s+([\\w ,'-]{3,160}?)(?:\\.|$|;)"),
       "requirement", "REQUIRED_TO", 0.8, actionable = true, 1, 2, Seq(Seq("shall", "must"))),
     // "X shall/must VERB ..." (modal requirement)
     FactPattern(
-      P("(?i)\\b([A-Z][\\w ,'-]{2,60}?)\\s+(?:shall|must)\\s+((?!be\\b)[\\w ,'-]{3,80}?)(?:\\.|$|;)"),
+      P("(?i)\\b([A-Z][\\w ,'-]{2,60}?)\\s+(?:shall|must)\\s+((?!be\\b)[\\w ,'-]{3,160}?)(?:\\.|$|;)"),
       "requirement", "MUST", 0.78, actionable = true, 1, 2, Seq(Seq("shall", "must"))),
     // "X should ..." (weaker modal)
     FactPattern(
-      P("(?i)\\b([A-Z][\\w ,'-]{2,60}?)\\s+should\\s+([\\w ,'-]{3,80}?)(?:\\.|$|;)"),
+      P("(?i)\\b([A-Z][\\w ,'-]{2,60}?)\\s+should\\s+([\\w ,'-]{3,160}?)(?:\\.|$|;)"),
       "recommendation", "SHOULD", 0.7, actionable = true, 1, 2, Seq(Seq("should"))),
     // "within 30 days" (FIXTURES F2)
     FactPattern(
@@ -60,11 +60,11 @@ object SpoExtractor {
       "regulation_citation", "CITES", 0.85, actionable = false, -1, 1, Seq(Seq("cfr", "usc"))),
     // "X is responsible for Y"
     FactPattern(
-      P("(?i)\\b([A-Z][\\w ,'-]{2,60}?)\\s+(?:is|are)\\s+responsible\\s+for\\s+([\\w ,'-]{3,80}?)(?:\\.|$|;)"),
+      P("(?i)\\b([A-Z][\\w ,'-]{2,60}?)\\s+(?:is|are)\\s+responsible\\s+for\\s+([\\w ,'-]{3,160}?)(?:\\.|$|;)"),
       "responsibility", "RESPONSIBLE_FOR", 0.8, actionable = true, 1, 2, Seq(Seq("responsible"))),
     // "X requires Y"
     FactPattern(
-      P("(?i)\\b([A-Z][\\w ,'-]{2,60}?)\\s+requires?\\s+([\\w ,'-]{3,80}?)(?:\\.|$|;)"),
+      P("(?i)\\b([A-Z][\\w ,'-]{2,60}?)\\s+requires?\\s+([\\w ,'-]{3,160}?)(?:\\.|$|;)"),
       "requirement", "REQUIRES", 0.76, actionable = true, 1, 2, Seq(Seq("require"))),
     // "X was/were VERBed by Y" (passive action)
     FactPattern(

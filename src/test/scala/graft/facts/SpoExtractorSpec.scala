@@ -63,4 +63,22 @@ class SpoExtractorSpec extends AnyFunSuite {
     val facts = SpoExtractor.extract(t)
     assert(facts.count(f => f.`object`.toLowerCase.contains("wear helmets")) === 1)
   }
+
+  test("reference golden (mvp-fusion/DocTest.json): contract sentence yields REQUIRED_TO + time requirement") {
+    val sentence = "The delivery of GPUs shall be completed on or before the Delivery Date, " +
+      "and payment shall be made in full within 30 days of delivery."
+    val facts = SpoExtractor.extract(sentence)
+    val req = facts.filter(f => f.predicate == "REQUIRED_TO" && f.fact_type == "requirement")
+    assert(req.nonEmpty, s"no REQUIRED_TO fact: $facts")
+    assert(req.exists(_.`object`.startsWith("completed on or before")),
+      s"object mismatch: ${req.map(_.`object`)}")
+    assert(req.forall(_.actionable))
+    assert(req.forall(_.confidence >= SpoExtractor.QualityThreshold))
+    val time = facts.filter(_.fact_type == "time_requirement")
+    assert(time.exists(_.`object` == "30 days"), s"time facts: $time")
+    // summary shape mirrors DocTest.json semantic_summary
+    val sm = SpoExtractor.summarize(facts)
+    assert(sm.quality_threshold == 0.75)
+    assert(sm.actionable_facts >= 2)
+  }
 }
