@@ -210,6 +210,12 @@ object SparkEntry {
     "q12_salted_agg" -> ((s, dir) => graft.relational.Relational.saltedAgg(s, dir)),
     "q13_sessions" -> ((s, dir) => graft.relational.Relational.sessionize(s, dir)),
     "q14_cube" -> ((s, dir) => graft.relational.Relational.cubeAgg(s, dir)),
+    // the Structured Streaming transform run in batch mode — stream/batch
+    // parity is the point: one definition, both execution modes
+    "q16_windowed_events" -> ((s, dir) =>
+      graft.streaming.EventStream.windowedCounts(
+        s.read.parquet(s"$dir/events.parquet"))
+        .orderBy(col("window_start"), col("event_type"))),
     "q15_percentiles" -> ((s, dir) => graft.relational.Relational.percentiles(s, dir)),
 
     // ---- training-data text ops (DuckDB-verified formulas)
@@ -327,6 +333,10 @@ object SparkEntry {
         | count(*) AS n, round(sum(o_totalprice), 2) AS total
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+    "q16_windowed_events" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        | count(*) AS n, round(sum(value), 2) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q15_percentiles" ->
       """SELECT l_returnflag,
         | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
