@@ -164,6 +164,14 @@ object OracleSql {
       | ((320 + (doc_id % 10) * 32) * (240 + (doc_id % 10) * 24))::BIGINT AS n_pixels
       |FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id""".stripMargin
 
+  val audioFeatures: String =
+    s"""WITH $mediaCte
+       |SELECT doc_id,
+       | (16000 + (doc_id % 4) * 8000)::BIGINT AS sample_rate,
+       | (octet_length(payload) * 1024)::BIGINT AS n_samples,
+       | ((octet_length(payload) * 1024 * 1000) // (16000 + (doc_id % 4) * 8000))::BIGINT AS duration_ms
+       |FROM media WHERE media_type = 'audio' ORDER BY doc_id""".stripMargin
+
   val frameSample: String =
     """WITH v AS (SELECT doc_id, (24 + doc_id % 72)::BIGINT AS n_frames
       |  FROM documents WHERE doc_id % 3 = 2),

@@ -233,6 +233,7 @@ object SparkEntry {
     "m2_image_meta" -> ((s, dir) => graft.media.MediaOps.imageMeta(s, dir)),
     "m3_frame_sample" -> ((s, dir) => graft.media.MediaOps.frameSample(s, dir)),
     "m4_resize_plan" -> ((s, dir) => graft.media.MediaOps.resizePlan(s, dir)),
+    "m5_audio_features" -> ((s, dir) => graft.media.MediaOps.audioFeatures(s, dir)),
 
     // ---- similarity search over embeddings (DuckDB-verified)
     "s1_cosine_topk" -> ((s, dir) => graft.sim.Similarity.cosineTopK(s, dir, 10, 5)),
@@ -355,6 +356,7 @@ object SparkEntry {
     "m2_image_meta" -> OracleSql.imageMeta,
     "m3_frame_sample" -> OracleSql.frameSample,
     "m4_resize_plan" -> OracleSql.resizePlan,
+    "m5_audio_features" -> OracleSql.audioFeatures,
     "s1_cosine_topk" -> OracleSql.cosineTopK(10, 5),
     "s2_lsh_topk" -> OracleSql.lshTopK(10, 5),
     "s3_label_centroids" -> OracleSql.labelCentroids,

@@ -85,6 +85,35 @@ object MediaOps {
       .orderBy(col("doc_id"))
   }
 
+  final case class AudioMeta(doc_id: Long, sample_rate: Long, n_samples: Long,
+      duration_ms: Long)
+
+  /** STUB audio decode — parses the header embedded in the payload bytes
+    * (a real implementation reads the WAV/FLAC header the same way).
+    */
+  def decodeAudioStub(payload: Array[Byte]): (Long, Long) = {
+    val header = new String(payload, java.nio.charset.StandardCharsets.UTF_8)
+    val id = header.split('|')(2).toLong
+    val sampleRate = 16000L + (id % 4) * 8000L
+    val nSamples = payload.length.toLong * 1024L
+    (sampleRate, nSamples)
+  }
+
+  /** m5: batched audio feature extraction → sample rate / duration —
+    * same binary-in, typed-struct-out batch contract as m2.
+    */
+  def audioFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media: Dataset[MediaRow] = mediaTable(s, dir).as[MediaRow]
+    media.filter(_.media_type == "audio")
+      .mapPartitions(_.grouped(64).flatMap(_.map { row =>
+        val (rate, n) = decodeAudioStub(row.payload)
+        AudioMeta(row.doc_id, rate, n, n * 1000L / rate)
+      }))
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
   val FrameStride = 12
 
   /** m3: video frame sampling — every 12th frame index as a typed row
