@@ -139,4 +139,17 @@ class PropertySpec extends AnyFunSuite {
       texts.filter(_.nonEmpty).foreach(t => assert(body.contains(t)))
     }
   }
+
+  test("P8: HTML extractor survives arbitrary garbage input") {
+    val garbage = Gen.listOf(Gen.choose(Char.MinValue, Char.MaxValue)).map(_.mkString)
+    forAll(garbage, 300) { s =>
+      val spans = HtmlExtractor.extract(s)   // must not throw
+      spans.zipWithIndex.foreach { case (sp, i) => assert(sp.offset == i) }
+    }
+    // targeted hostile fragments
+    Seq("<", "<<<>>>", "<a href=", "<p <div>", "</", "<![CDATA[x", "<!--",
+        "<table><tr><td>", "&#xZZ;", "&unknown;", "\u0000<b>\u0000").foreach { s =>
+      HtmlExtractor.extract(s)
+    }
+  }
 }
