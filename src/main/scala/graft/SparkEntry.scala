@@ -210,6 +210,20 @@ object SparkEntry {
     "q12_salted_agg" -> ((s, dir) => graft.relational.Relational.saltedAgg(s, dir)),
     "q13_sessions" -> ((s, dir) => graft.relational.Relational.sessionize(s, dir)),
     "q14_cube" -> ((s, dir) => graft.relational.Relational.cubeAgg(s, dir)),
+    // the full SQL surface: same engine, ANSI SQL text in, Catalyst plan
+    // out — views over the parquet tables, CTE + join + agg
+    "q17_sql_surface" -> ((s, dir) => {
+      s.read.parquet(s"$dir/lineitem.parquet").createOrReplaceTempView("li_v")
+      s.read.parquet(s"$dir/part.parquet").createOrReplaceTempView("part_v")
+      s.sql(
+        """WITH returned AS (
+          |  SELECT l_partkey, count(*) AS n_ret, round(sum(l_quantity), 2) AS qty
+          |  FROM li_v WHERE l_returnflag = 'R' GROUP BY l_partkey)
+          |SELECT p.p_type, count(*) AS n_parts,
+          |  sum(r.n_ret) AS n_returns, round(sum(r.qty), 2) AS total_qty
+          |FROM returned r JOIN part_v p ON p.p_partkey = r.l_partkey
+          |GROUP BY p.p_type ORDER BY p.p_type""".stripMargin)
+    }),
     // the Structured Streaming transform run in batch mode — stream/batch
     // parity is the point: one definition, both execution modes
     "q16_windowed_events" -> ((s, dir) =>
@@ -334,6 +348,14 @@ object SparkEntry {
         | count(*) AS n, round(sum(o_totalprice), 2) AS total
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+    "q17_sql_surface" ->
+      """WITH returned AS (
+        |  SELECT l_partkey, count(*) AS n_ret, round(sum(l_quantity), 2) AS qty
+        |  FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_partkey)
+        |SELECT p.p_type, count(*) AS n_parts,
+        |  sum(r.n_ret)::BIGINT AS n_returns, round(sum(r.qty), 2) AS total_qty
+        |FROM returned r JOIN part p ON p.p_partkey = r.l_partkey
+        |GROUP BY p.p_type ORDER BY p.p_type""".stripMargin,
     "q16_windowed_events" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         | count(*) AS n, round(sum(value), 2) AS total
