@@ -78,9 +78,12 @@ object OracleSql {
 
   def ngramJaccard(threshold: Double): String =
     s"""WITH $shinglesCte,
-       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |keep AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM sh GROUP BY 1)
+       | WHERE df <= ${TextOps.MaxShingleDf}),
+       |shf AS (SELECT s.doc_id, s.sh FROM sh s JOIN keep k ON s.sh = k.sh),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY 1),
        |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
-       | FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id GROUP BY 1, 2)
+       | FROM shf x JOIN shf y ON x.sh = y.sh AND x.doc_id < y.doc_id GROUP BY 1, 2)
        |SELECT a, b, round(i::DOUBLE / (sa.n + sb.n - i), 4) AS jaccard
        |FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
        |WHERE round(i::DOUBLE / (sa.n + sb.n - i), 4) >= $threshold

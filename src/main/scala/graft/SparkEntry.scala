@@ -31,16 +31,13 @@ object SparkEntry {
     * recomputing the full pipeline per query would be a 10× waste in
     * Verify/Bench (and in any real consumer reading several facets).
     */
-  private val extractedCache =
-    scala.collection.mutable.Map.empty[(SparkSession, String), Dataset[ExtractedDoc]]
+  private val extractedCache = new graft.util.SessionCache[Dataset[ExtractedDoc]]
 
   private def extracted(s: SparkSession, dir: String): Dataset[ExtractedDoc] =
-    extractedCache.synchronized {
-      extractedCache.getOrElseUpdate((s, dir), {
-        val ds = ExtractionPipeline.run(s, DocGen.rawDocs(s, dir))
-        ds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        ds
-      })
+    extractedCache.getOrElseUpdate(s, dir) {
+      val ds = ExtractionPipeline.run(s, DocGen.rawDocs(s, dir))
+      ds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      ds
     }
 
   private def extractedOfKind(s: SparkSession, dir: String, kind: String): Dataset[ExtractedDoc] = {
@@ -338,7 +335,7 @@ object SparkEntry {
         |   THEN 1 ELSE 0 END AS new_sess FROM o),
         |g AS (SELECT user_id, ts,
         |  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |   ROWS UNBOUNDED PRECEDING) AS session_id FROM f)
+        |   ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id FROM f)
         |SELECT user_id, session_id, count(*) AS n_events,
         | date_diff('second', min(ts), max(ts)) AS duration_s
         |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

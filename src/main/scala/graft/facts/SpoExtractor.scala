@@ -94,7 +94,10 @@ object SpoExtractor {
     val sentences = Core8Extractor.splitSentences(cleanText)
     val out = new ArrayBuffer[Fact]
     sentences.foreach { case (sentence, sentStart) =>
-      val sentLower = sentence.toLowerCase
+      // the gate string folds ALL whitespace to plain spaces: sentences
+      // keep single newlines, and a trigger like " by" must fire on
+      // "approved\nby" exactly as the \s+ in the regex it guards does
+      val sentLower = sentence.toLowerCase.map(c => if (Character.isWhitespace(c)) ' ' else c)
       patterns.foreach { fp =>
         if (fp.triggers.forall(clause => clause.exists(sentLower.contains))) {
         val m = fp.rx.matcher(sentence)

@@ -87,11 +87,10 @@ object Similarity {
   /** (vec_id, tbl, bucket) — one row per hash table per vector.
     * Persisted once per (session, dir): s2 and t9 both probe it.
     */
-  private val bucketCache =
-    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+  private val bucketCache = new graft.util.SessionCache[DataFrame]
 
-  def lshBuckets(s: SparkSession, dir: String): DataFrame = bucketCache.synchronized {
-    bucketCache.getOrElseUpdate((s, dir), {
+  def lshBuckets(s: SparkSession, dir: String): DataFrame =
+    bucketCache.getOrElseUpdate(s, dir)({
       val emb = embeddings(s, dir)
       val dim = emb.select(size(col("embedding"))).head().getInt(0)
       val df = emb
@@ -101,7 +100,6 @@ object Similarity {
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       df
     })
-  }
 
   /** Multi-table LSH ANN: candidates = vectors sharing a (table, bucket)
     * with the query in ANY table, deduped, then exact cosine + top-k.

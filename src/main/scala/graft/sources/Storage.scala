@@ -69,9 +69,19 @@ final class ParquetStorage extends Storage {
       spark.sparkContext.hadoopConfiguration)
     val path = new org.apache.hadoop.fs.Path(table)
     if (!fs.exists(path)) return "absent"
-    val parts = fs.listStatus(path).filterNot(_.getPath.getName.startsWith("_"))
-      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
-      .sorted
+    // recursive listing with the full relative path in the digest:
+    // partitioned tables rewrite files inside subdirectories, and a
+    // same-name/same-size rewrite must still flip the snapshot id
+    val base = path.toUri.getPath
+    val it = fs.listFiles(path, true)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val st = it.next()
+      val rel = st.getPath.toUri.getPath.stripPrefix(base)
+      if (!rel.split('/').exists(_.startsWith("_")))
+        buf += s"$rel:${st.getLen}:${st.getModificationTime}"
+    }
+    val parts = buf.sorted
     val md5 = java.security.MessageDigest.getInstance("MD5")
     parts.foreach(p => md5.update(p.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
     md5.digest().map("%02x".format(_)).mkString

@@ -120,11 +120,10 @@ object TextOps {
     * n-gram Jaccard and MinHash ops. Shuffle key = shingle string.
     * Persisted once per (session, dir): t5-t7 all start from this frame.
     */
-  private val shingleCache =
-    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+  private val shingleCache = new graft.util.SessionCache[DataFrame]
 
-  def shingles(s: SparkSession, dir: String): DataFrame = shingleCache.synchronized {
-    shingleCache.getOrElseUpdate((s, dir), {
+  def shingles(s: SparkSession, dir: String): DataFrame =
+    shingleCache.getOrElseUpdate(s, dir)({
       val df = docs(s, dir)
         .select(col("doc_id"), expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("t"))
         .filter(size(col("t")) >= 3)
@@ -135,14 +134,30 @@ object TextOps {
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       df
     })
+
+  /** Stop-shingle document-frequency cap for the pairing join: a shingle
+    * appearing in k docs emits k² pair rows, so one hot trigram ("of the
+    * and"-class boilerplate) degenerates the equi-join toward all-pairs at
+    * corpus scale. Every production near-dup pipeline drops these; the
+    * Jaccard is then computed over the capped shingle space on BOTH sides
+    * of the ratio (sizes + intersections), mirrored exactly in the oracle.
+    * Join cardinality bound: Σ min(df, maxDf)² per shingle.
+    */
+  val MaxShingleDf = 1000
+
+  private def cappedShingles(sh: DataFrame, maxDf: Int): DataFrame = {
+    val keep = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("sh")
+    sh.join(keep, Seq("sh"), "left_semi")
   }
 
   /** N-gram Jaccard near-dup baseline: pairs sharing a shingle →
     * |∩| / |∪| ≥ threshold. Join on shingle (equi-join shuffle), never a
-    * cross join — candidate pairs are bounded by shingle co-occurrence.
+    * cross join — candidate pairs are bounded by shingle co-occurrence,
+    * and the DF cap above bounds the per-key blowup.
     */
   def ngramJaccard(s: SparkSession, dir: String, threshold: Double = 0.2): DataFrame = {
-    val sh = shingles(s, dir)
+    val sh = cappedShingles(shingles(s, dir), MaxShingleDf)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("x").join(sh.as("y"),
         col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
@@ -209,24 +224,23 @@ object TextOps {
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
       .cache()
-    // verify candidates with exact Jaccard — but only over docs that
-    // appear in some candidate pair (semi-join prune): the all-pairs
-    // shingle intersection over the full corpus would dwarf the LSH
-    // saving it exists to avoid. Result-identical (inter is only ever
-    // joined back to cand).
+    // verify candidates with exact Jaccard computed per candidate PAIR:
+    // collect each candidate doc's shingle set (bounded by its own
+    // shingle count) and intersect the two arrays per pair. This touches
+    // exactly |cand| pairs — a shingle self-join over candidate docs
+    // would instead materialize ALL shingle-sharing pairs among them,
+    // which in a near-dup-heavy corpus (the whole point of dedup)
+    // degenerates toward the all-pairs cost LSH exists to avoid.
     val candDocs = cand.select(col("a").as("doc_id"))
       .unionByName(cand.select(col("b").as("doc_id"))).distinct()
-    val sh = sh0.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.as("x").join(sh.as("y"),
-        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .agg(count(lit(1)).as("i"))
-    cand.join(inter, Seq("a", "b"))
-      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na"), "a")
-      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb"), "b")
+    val sets = sh0.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      .groupBy("doc_id").agg(collect_set(col("sh")).as("shs"))
+    cand
+      .join(sets.select(col("doc_id").as("a"), col("shs").as("sa")), Seq("a"))
+      .join(sets.select(col("doc_id").as("b"), col("shs").as("sb")), Seq("b"))
+      .withColumn("i", size(array_intersect(col("sa"), col("sb"))).cast("long"))
       .withColumn("jaccard", round(col("i").cast("double") /
-        (col("na") + col("nb") - col("i")), 4))
+        (size(col("sa")) + size(col("sb")) - col("i")), 4))
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "jaccard")
       .orderBy("a", "b")
