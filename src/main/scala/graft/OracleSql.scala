@@ -140,6 +140,167 @@ object OracleSql {
        |SELECT doc_id, $hashSum AS simhash FROM sums ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------- extraction facets
+  //
+  // DuckDB reconstruction of the DocGen synthesis (sources/DocGen.scala)
+  // plus the pipeline's span emission for each content mode. The base
+  // corpus text is lowercase words with no punctuation/digits (verified
+  // across all sf dirs), so sentence splitting is the identity and every
+  // entity/fact/structure token comes from the deterministic injected
+  // sentences — making the full span sequences pure arithmetic of
+  // (doc_id, text). The same Spark-side behaviors mirrored here:
+  //  - expand: 1+id%4 copies, 40 for every 101st (DocGen.expand)
+  //  - mode split html/pdf/text = id%10 in [0,5)/[5,8)/[8,10)
+  //  - PDF: 240-char chunks, 4 slots/page, vertical-gap merge collapses
+  //    each column to ONE block per page (slot gap 20 < 30 threshold),
+  //    two-column layout for id%3==0 reads left column then right
+  //    (PdfExtractor.mergeBlocks/readingOrder), page headers/separators
+  //  - HTML: boilerplate-stripped article walk (MarkdownEmitter), h2 on
+  //    id%2==0, image only when BOTH a third paragraph exists (id%3==0)
+  //    and id%4==0, list/blockquote/table/code on id%7/6/5/8==0
+  //  - rejects: pdf docs with id%97==0 carry 101+id%20 pages > 100 cap
+
+  /** Shared synthesis CTEs: expanded text, injected entity sentences,
+    * full body string per doc. Margin char '!' — span texts contain '|'.
+    */
+  private val docSynthCte: String =
+    """syn AS (
+      !  SELECT doc_id AS id, 'doc' || doc_id AS did,
+      !    (doc_id % 10 < 5) AS is_html,
+      !    (doc_id % 10 >= 5 AND doc_id % 10 < 8) AS is_pdf,
+      !    (doc_id % 10 >= 8) AS is_text,
+      !    (doc_id % 10 >= 5 AND doc_id % 10 < 8 AND doc_id % 97 = 0) AS is_reject,
+      !    array_to_string(list_transform(
+      !      range(CASE WHEN doc_id % 101 = 100 THEN 40 ELSE 1 + doc_id % 4 END), x -> text), ' ') AS expanded
+      !  FROM documents),
+      !ent AS (
+      !  SELECT *,
+      !    'Contact ' || (['John','Sarah','Michael','Emily','David','Jane'])[(id % 6 + 1)::INT]
+      !      || ' ' || (['Smith','Johnson','Garcia','Chen','Patel','Brown'])[((id // 6) % 6 + 1)::INT]
+      !      || ' at (555) ' || (100 + id % 900) || '-' || (1000 + id % 9000)
+      !      || ' regarding the audit.' AS s1,
+      !    'The inspection is scheduled for '
+      !      || (['January','February','March','April','June','July','August','September','October','November'])[(id % 10 + 1)::INT]
+      !      || ' ' || (id % 28 + 1) || ', ' || (2020 + id % 6)
+      !      || ' at ' || (id % 11 + 1) || ':' || (CASE WHEN id % 2 = 0 THEN '30' ELSE '15' END)
+      !      || ' PM in ' || (['Chicago','Houston','Seattle','Boston','Denver','Atlanta'])[(id % 6 + 1)::INT]
+      !      || '.' AS s2,
+      !    'Violations carry a penalty of $' || format('{:,}', (id % 90 + 10) * 250)
+      !      || ' under 29 CFR 1926.' || (id % 400 + 100) || '.' AS s3,
+      !    'Guardrails must measure ' || (id % 20 + 20) || '-' || (id % 20 + 27)
+      !      || ' inches and reports shall be filed within ' || (id % 90 + 1) || ' days.' AS s4,
+      !    'Mr. ' || (['Smith','Johnson','Garcia','Chen','Patel','Brown'])[((id // 6) % 6 + 1)::INT]
+      !      || ' approved the findings.' AS s5,
+      !    'OSHA and NIOSH published workplace safety and fall protection guidance '
+      !      || 'in the Federal Register covering scaffold, guardrail and lockout tagout hazards, '
+      !      || 'with PPE and respirator requirements under the hazcom standard.' AS s6
+      !  FROM syn),
+      !bodyq AS (
+      !  SELECT *,
+      !    expanded || ' ' || s1 || ' ' || s2 || ' ' || s3 || ' ' || s4 || ' ' || s5
+      !      || CASE WHEN id % 3 = 0 THEN ' ' || s6 ELSE '' END AS body
+      !  FROM ent)""".stripMargin('!')
+
+  val xRejects: String =
+    s"""WITH $docSynthCte
+       !SELECT did AS doc_id,
+       ! 'skipped: ' || (101 + id % 20) || ' pages exceeds 100-page limit' AS error
+       !FROM bodyq WHERE is_reject ORDER BY doc_id""".stripMargin('!')
+
+  val xTextSpans: String =
+    s"""WITH $docSynthCte
+       !SELECT did AS doc_id, 0::INTEGER AS "offset", 'text' AS kind, body AS text, '' AS media_ref
+       !FROM bodyq WHERE is_text ORDER BY doc_id""".stripMargin('!')
+
+  val xContentFlags: String =
+    s"""WITH $docSynthCte
+       !SELECT did AS doc_id,
+       ! (is_html AND id % 5 = 0) AS has_tables,
+       ! ((is_html AND id % 12 = 0) OR (is_pdf AND NOT is_reject AND id % 4 = 0)) AS has_images,
+       ! false AS has_formulas,
+       ! (is_html AND id % 8 = 0) AS has_code,
+       ! false AS has_links,
+       ! (is_html AND id % 7 = 0) AS has_lists,
+       ! (is_html OR (is_pdf AND NOT is_reject)) AS has_headers,
+       ! false AS has_footnotes,
+       ! false AS has_citations,
+       ! (is_html AND id % 5 = 0) AS has_structured_data
+       !FROM bodyq ORDER BY doc_id""".stripMargin('!')
+
+  val xPdfSpans: String =
+    s"""WITH $docSynthCte,
+       !pchunks AS (
+       !  SELECT *, ((length(body) + 239) // 240)::INT AS nchunks,
+       !    list_transform(range((length(body) + 239) // 240),
+       !      i -> trim(substr(body, (i * 240 + 1)::INT, 240))) AS ch
+       !  FROM bodyq WHERE is_pdf AND NOT is_reject),
+       !pspans AS (
+       !  SELECT did,
+       !    [{'kind': 'heading', 'text': '# ' || did, 'media_ref': ''}] ||
+       !    flatten(list_transform(range((nchunks + 3) // 4), p ->
+       !      [{'kind': 'page_break', 'text': '## Page ' || (p + 1), 'media_ref': ''}] ||
+       !      list_transform(
+       !        CASE WHEN id % 3 = 0 THEN
+       !          [array_to_string(list_filter(ch[(p*4+1)::INT:least(nchunks, p*4+4)::INT], (x, i) -> i % 2 = 1), chr(10))] ||
+       !          CASE WHEN least(nchunks, p*4+4) - p*4 > 1 THEN
+       !            [array_to_string(list_filter(ch[(p*4+1)::INT:least(nchunks, p*4+4)::INT], (x, i) -> i % 2 = 0), chr(10))]
+       !          ELSE [] END
+       !        ELSE [array_to_string(ch[(p*4+1)::INT:least(nchunks, p*4+4)::INT], chr(10))] END,
+       !        t -> {'kind': 'text', 'text': t, 'media_ref': ''}) ||
+       !      CASE WHEN p = 0 AND id % 4 = 0 THEN
+       !        [{'kind': 'image_ref', 'text': 'diagram for doc ' || id, 'media_ref': 'img://doc' || id || '/p1/0'}]
+       !      ELSE [] END ||
+       !      CASE WHEN p < (nchunks + 3) // 4 - 1 THEN
+       !        [{'kind': 'page_break', 'text': '---', 'media_ref': ''}]
+       !      ELSE [] END)) AS spans
+       !  FROM pchunks)
+       !SELECT did AS doc_id, (generate_subscripts(spans, 1) - 1)::INTEGER AS "offset",
+       !  unnest(spans, recursive := true)
+       !FROM pspans ORDER BY doc_id, "offset"""".stripMargin('!')
+
+  val xHtmlSpans: String =
+    raw"""WITH $docSynthCte,
+       !hp AS (
+       !  SELECT *,
+       !    expanded || ' ' || s1 || ' ' || s2 AS para0,
+       !    s3 || ' ' || s4 || ' ' || s5 AS para1
+       !  FROM ent WHERE id % 10 < 5),
+       !hspans AS (
+       !  SELECT did,
+       !    [{'kind': 'heading', 'text': '# Document ' || id || ' Report', 'media_ref': ''}] ||
+       !    [{'kind': 'text', 'text': CASE WHEN id % 3 = 0
+       !        THEN regexp_replace(para0, '^(\w+) (\w+)', '**\1** *\2*')
+       !        ELSE para0 END, 'media_ref': ''}] ||
+       !    CASE WHEN id % 2 = 0 THEN [{'kind': 'heading', 'text': '## Section 1 Findings', 'media_ref': ''}] ELSE [] END ||
+       !    [{'kind': 'text', 'text': para1, 'media_ref': ''}] ||
+       !    CASE WHEN id % 3 = 0 THEN
+       !      CASE WHEN id % 4 = 0 THEN
+       !        [{'kind': 'image_ref', 'text': 'figure 2 for doc ' || id,
+       !           'media_ref': 'https://cdn.example.com/img/' || id || '-2.png'}]
+       !      ELSE [] END ||
+       !      [{'kind': 'text', 'text': s6, 'media_ref': ''}]
+       !    ELSE [] END ||
+       !    CASE WHEN id % 7 = 0 THEN
+       !      [{'kind': 'list_item', 'text': '- inspection checklist', 'media_ref': ''},
+       !       {'kind': 'list_item', 'text': '- equipment log', 'media_ref': ''},
+       !       {'kind': 'list_item', 'text': '- training record', 'media_ref': ''}]
+       !    ELSE [] END ||
+       !    CASE WHEN id % 6 = 0 THEN
+       !      [{'kind': 'blockquote', 'text': '> Compliance is verified during each quarterly review.', 'media_ref': ''}]
+       !    ELSE [] END ||
+       !    CASE WHEN id % 5 = 0 THEN
+       !      [{'kind': 'table', 'text': '| Item | Qty |' || chr(10) || '| --- | --- |' || chr(10) ||
+       !         '| unit-' || id || ' | ' || (id % 100) || ' |' || chr(10) ||
+       !         '| spare | ' || (id % 7) || ' |', 'media_ref': ''}]
+       !    ELSE [] END ||
+       !    CASE WHEN id % 8 = 0 THEN
+       !      [{'kind': 'code', 'text': 'status = check(sensor)' || chr(10) || 'if status: alert()', 'media_ref': ''}]
+       !    ELSE [] END AS spans
+       !  FROM hp)
+       !SELECT did AS doc_id, (generate_subscripts(spans, 1) - 1)::INTEGER AS "offset",
+       !  unnest(spans, recursive := true)
+       !FROM hspans ORDER BY doc_id, "offset"""".stripMargin('!')
+
   /** DuckDB reconstruction of MediaOps.mediaTable — same deterministic
     * payload bytes derived from doc_id, so the Spark binary path and the
     * SQL arithmetic agree by construction.

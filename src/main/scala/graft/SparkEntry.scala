@@ -363,6 +363,15 @@ object SparkEntry {
         | round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
         | round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // extraction-facet oracles: the full span sequences / flags / rejects
+    // reconstructed as DuckDB arithmetic over the same documents table
+    // (see OracleSql docSynthCte) — the engine's convert stage is now
+    // hash-gated, not rows-only
+    "x_rejects" -> OracleSql.xRejects,
+    "x_text_spans" -> OracleSql.xTextSpans,
+    "x_content_flags" -> OracleSql.xContentFlags,
+    "x_pdf_spans" -> OracleSql.xPdfSpans,
+    "x_html_spans" -> OracleSql.xHtmlSpans,
     "t1_token_count" -> OracleSql.tokenCount,
     "t2_quality_score" -> OracleSql.qualityScore,
     "t3_lang_id" -> OracleSql.langId,
