@@ -301,6 +301,34 @@ object OracleSql {
        !  unnest(spans, recursive := true)
        !FROM hspans ORDER BY doc_id, "offset"""".stripMargin('!')
 
+  /** Office corpus span reconstruction (DocGen.synthesizeOffice →
+    * OfficeExtractor): docx = one text span per paragraph; pptx =
+    * `## Slide N` page breaks + shape texts in slide groups of 3;
+    * xlsx = `=== Data ===` header + `rowIdx | sentence` rows.
+    */
+  val xOfficeSpans: String =
+    s"""WITH $docSynthCte,
+       !ospans AS (
+       !  SELECT did, id,
+       !    CASE (id % 3)::INT
+       !    WHEN 0 THEN
+       !      list_transform([expanded, s1, s2, s3, s4, s5, s6],
+       !        t -> {'kind': 'text', 'text': t, 'media_ref': ''})
+       !    WHEN 1 THEN
+       !      [{'kind': 'page_break', 'text': '## Slide 1', 'media_ref': ''}] ||
+       !      list_transform([expanded, s1, s2], t -> {'kind': 'text', 'text': t, 'media_ref': ''}) ||
+       !      [{'kind': 'page_break', 'text': '## Slide 2', 'media_ref': ''}] ||
+       !      list_transform([s3, s4, s5], t -> {'kind': 'text', 'text': t, 'media_ref': ''})
+       !    ELSE
+       !      [{'kind': 'heading', 'text': '=== Data ===', 'media_ref': ''}] ||
+       !      list_transform([expanded, s1, s2, s3, s4, s5],
+       !        (t, i) -> {'kind': 'text', 'text': i || ' | ' || t, 'media_ref': ''})
+       !    END AS spans
+       !  FROM ent)
+       !SELECT did AS doc_id, (generate_subscripts(spans, 1) - 1)::INTEGER AS "offset",
+       !  unnest(spans, recursive := true)
+       !FROM ospans ORDER BY doc_id, "offset"""".stripMargin('!')
+
   /** DuckDB reconstruction of MediaOps.mediaTable — same deterministic
     * payload bytes derived from doc_id, so the Spark binary path and the
     * SQL arithmetic agree by construction.

@@ -40,6 +40,19 @@ object SparkEntry {
       ds
     }
 
+  /** F13 office corpus — a second fused-pipeline run over the OOXML
+    * synthesis of the same documents table (lighter than the main run:
+    * no HTML parse), persisted per (session, dir).
+    */
+  private val officeCache = new graft.util.SessionCache[Dataset[ExtractedDoc]]
+
+  private def officeExtracted(s: SparkSession, dir: String): Dataset[ExtractedDoc] =
+    officeCache.getOrElseUpdate(s, dir) {
+      val ds = ExtractionPipeline.run(s, DocGen.officeRawDocs(s, dir))
+      ds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      ds
+    }
+
   private def extractedOfKind(s: SparkSession, dir: String, kind: String): Dataset[ExtractedDoc] = {
     import s.implicits._
     // content_kind is a pure function of the numeric doc id (DocGen mix),
@@ -64,6 +77,7 @@ object SparkEntry {
     "x_html_spans" -> ((s, dir) => spansOf(extractedOfKind(s, dir, "html"))),
     "x_pdf_spans" -> ((s, dir) => spansOf(extractedOfKind(s, dir, "pdf_blocks"))),
     "x_text_spans" -> ((s, dir) => spansOf(extractedOfKind(s, dir, "text"))),
+    "x_office_spans" -> ((s, dir) => spansOf(officeExtracted(s, dir))),
     "x_content_flags" -> ((s, dir) =>
       extracted(s, dir).select(col("doc_id"), col("meta.content_detection.*"))
         .orderBy(col("doc_id"))),
@@ -368,6 +382,7 @@ object SparkEntry {
     // (see OracleSql docSynthCte) — the engine's convert stage is now
     // hash-gated, not rows-only
     "x_rejects" -> OracleSql.xRejects,
+    "x_office_spans" -> OracleSql.xOfficeSpans,
     "x_text_spans" -> OracleSql.xTextSpans,
     "x_content_flags" -> OracleSql.xContentFlags,
     "x_pdf_spans" -> OracleSql.xPdfSpans,

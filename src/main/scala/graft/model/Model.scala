@@ -42,17 +42,26 @@ final case class PdfBlock(
     is_image: Boolean,
     media_ref: String)
 
+/** One pre-parsed part of an OOXML container (the XML strings a zip
+  * walk yields — same modeling move as pdf_blocks: the container unzip
+  * is I/O-side, the XML text walk is the engine's job; reference
+  * fallback readers at `mvp-hyper/core/mvp-hyper-core.py:513-560,606-650,
+  * 712-778` consume exactly these part names).
+  */
+final case class OfficePart(name: String, xml: String)
+
 /** Raw-ingestion row (FIXTURES.md §2). Exactly one of html / pdf_blocks /
-  * text is populated according to content_kind.
+  * text / office_parts is populated according to content_kind.
   */
 final case class RawDoc(
     doc_id: String,
-    content_kind: String, // 'html' | 'pdf_blocks' | 'text'
+    content_kind: String, // 'html' | 'pdf_blocks' | 'text' | 'docx' | 'pptx' | 'xlsx'
     html: String,
     pdf_blocks: Seq[PdfBlock],
     text: String,
     size_bytes: Long,
-    page_count: Int)
+    page_count: Int,
+    office_parts: Seq[OfficePart] = Seq.empty)
 
 /** Entity record shape from the reference
   * (`pipeline/legacy/service_processor.py:758-766`), span flattened.

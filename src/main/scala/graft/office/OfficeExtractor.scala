@@ -1,0 +1,179 @@
+package graft.office
+
+import graft.model.{OfficePart, Span, SpanKinds => K}
+import scala.collection.mutable.ArrayBuffer
+
+/** F13: DOCX/PPTX/XLSX text extraction over pre-parsed OOXML part
+  * strings, matching the reference's semantics
+  * (`mvp-hyper/core/mvp-hyper-core.py:479-778`):
+  *
+  *  - DOCX: one text block per `<w:p>` paragraph (runs concatenated —
+  *    python-docx `paragraph.text`), pages ≈ max(1, paragraphs / 20)
+  *    (`:479-511`)
+  *  - PPTX: per slide (numeric part order), one text block per `<p:sp>`
+  *    shape (`:571-604`); we additionally mark slide boundaries with
+  *    `## Slide N` page-break spans so the span sequence keeps the
+  *    page structure the rest of the engine relies on
+  *  - XLSX: per sheet, a `=== title ===` header then one row per
+  *    spreadsheet row with cells joined by " | " (`:666-711`); sheet
+  *    titles from `xl/workbook.xml` name attributes
+  *
+  * The XML walk is a from-scratch index scanner (no DOM): OOXML text
+  * lives in leaf elements (`w:t`/`a:t`/`is><t`), so collecting tagged
+  * leaf texts per enclosing block is the whole parse. Pure and
+  * allocation-light — designed for the fused `mapPartitions` stage.
+  */
+object OfficeExtractor {
+
+  /** Text contents of every `<tag ...>text</tag>` occurrence, unescaped.
+    * Self-closing `<tag/>` yields an empty string (kept: it represents
+    * an empty run).
+    */
+  def elementTexts(xml: String, tag: String): Seq[String] = {
+    val out = new ArrayBuffer[String]
+    val open = "<" + tag
+    val close = "</" + tag + ">"
+    var i = 0
+    while (i < xml.length) {
+      val at = xml.indexOf(open, i)
+      if (at < 0) return out.toSeq
+      val afterName = at + open.length
+      // require a real tag boundary: '>', whitespace or '/' after the name
+      if (afterName < xml.length &&
+          (xml.charAt(afterName) == '>' || xml.charAt(afterName) == '/' ||
+           Character.isWhitespace(xml.charAt(afterName)))) {
+        val gt = xml.indexOf('>', afterName)
+        if (gt < 0) return out.toSeq
+        if (xml.charAt(gt - 1) == '/') { // self-closing
+          out += ""
+          i = gt + 1
+        } else {
+          val end = xml.indexOf(close, gt + 1)
+          if (end < 0) return out.toSeq
+          out += graft.html.Entities.unescape(xml.substring(gt + 1, end))
+          i = end + close.length
+        }
+      } else i = afterName
+    }
+    out.toSeq
+  }
+
+  /** For each `<blockTag>…</blockTag>` region, its `<textTag>` leaf
+    * texts joined by `sep` — python-docx `paragraph.text` semantics
+    * (runs concatenated, sep = "") and openpyxl row rendering (cells
+    * joined by " | ", reference `mvp-hyper-core.py:677`).
+    */
+  def blockTexts(xml: String, blockTag: String, textTag: String, sep: String = ""): Seq[String] = {
+    val out = new ArrayBuffer[String]
+    val open = "<" + blockTag
+    val close = "</" + blockTag + ">"
+    var i = 0
+    while (i < xml.length) {
+      val at = xml.indexOf(open, i)
+      if (at < 0) return out.toSeq
+      val afterName = at + open.length
+      if (afterName < xml.length &&
+          (xml.charAt(afterName) == '>' || Character.isWhitespace(xml.charAt(afterName)))) {
+        val end = xml.indexOf(close, afterName)
+        if (end < 0) return out.toSeq
+        out += elementTexts(xml.substring(afterName, end), textTag).mkString(sep)
+        i = end + close.length
+      } else i = afterName
+    }
+    out.toSeq
+  }
+
+  /** Values of `attr="…"` on every `<tag …>` occurrence (sheet names). */
+  def attrValues(xml: String, tag: String, attr: String): Seq[String] = {
+    val out = new ArrayBuffer[String]
+    val open = "<" + tag
+    val needle = attr + "=\""
+    var i = 0
+    while (i < xml.length) {
+      val at = xml.indexOf(open, i)
+      if (at < 0) return out.toSeq
+      val gt = xml.indexOf('>', at)
+      if (gt < 0) return out.toSeq
+      val tagStr = xml.substring(at, gt)
+      val a = tagStr.indexOf(needle)
+      if (a >= 0) {
+        val vStart = a + needle.length
+        val vEnd = tagStr.indexOf('"', vStart)
+        if (vEnd > vStart) out += graft.html.Entities.unescape(tagStr.substring(vStart, vEnd))
+        else out += ""
+      }
+      i = gt + 1
+    }
+    out.toSeq
+  }
+
+  /** Numeric part order: `ppt/slides/slide10.xml` sorts after `slide2`
+    * (the primary readers iterate slides/sheets in document order; a
+    * lexical part sort would interleave them).
+    */
+  private def numberedParts(parts: Seq[OfficePart], prefix: String): Seq[OfficePart] =
+    parts.filter(p => p.name.startsWith(prefix) && p.name.endsWith(".xml"))
+      .sortBy { p =>
+        val digits = p.name.stripPrefix(prefix).takeWhile(_.isDigit)
+        if (digits.isEmpty) Int.MaxValue else digits.toInt
+      }
+
+  def extractDocx(parts: Seq[OfficePart]): Either[String, Seq[Span]] =
+    parts.find(_.name == "word/document.xml") match {
+      case None => Left("missing part: word/document.xml")
+      case Some(doc) =>
+        val paras = blockTexts(doc.xml, "w:p", "w:t")
+        Right(toSpans(paras.filter(_.nonEmpty).map((K.Text, _))))
+    }
+
+  def extractPptx(parts: Seq[OfficePart]): Either[String, Seq[Span]] = {
+    val slides = numberedParts(parts, "ppt/slides/slide")
+    if (slides.isEmpty) return Left("missing parts: ppt/slides/slide*.xml")
+    val out = new ArrayBuffer[(String, String)]
+    slides.zipWithIndex.foreach { case (slide, idx) =>
+      out += ((K.PageBreak, s"## Slide ${idx + 1}"))
+      blockTexts(slide.xml, "p:sp", "a:t").filter(_.nonEmpty)
+        .foreach(t => out += ((K.Text, t)))
+    }
+    Right(toSpans(out.toSeq))
+  }
+
+  def extractXlsx(parts: Seq[OfficePart]): Either[String, Seq[Span]] = {
+    val sheets = numberedParts(parts, "xl/worksheets/sheet")
+    if (sheets.isEmpty) return Left("missing parts: xl/worksheets/sheet*.xml")
+    val names = parts.find(_.name == "xl/workbook.xml")
+      .map(wb => attrValues(wb.xml, "sheet", "name")).getOrElse(Seq.empty)
+    val out = new ArrayBuffer[(String, String)]
+    sheets.zipWithIndex.foreach { case (sheet, idx) =>
+      val title = if (idx < names.length) names(idx) else s"Sheet${idx + 1}"
+      out += ((K.Heading, s"=== $title ==="))
+      blockTexts(sheet.xml, "row", "t", " | ").filter(_.nonEmpty)
+        .foreach(t => out += ((K.Text, t)))
+    }
+    Right(toSpans(out.toSeq))
+  }
+
+  def extract(kind: String, parts: Seq[OfficePart]): Either[String, Seq[Span]] = kind match {
+    case "docx" => extractDocx(parts)
+    case "pptx" => extractPptx(parts)
+    case "xlsx" => extractXlsx(parts)
+    case other => Left(s"unsupported office kind: $other")
+  }
+
+  /** Reference page estimates (`mvp-hyper-core.py:490,585,693`). */
+  def pageEstimate(kind: String, parts: Seq[OfficePart]): Int = kind match {
+    case "docx" =>
+      parts.find(_.name == "word/document.xml")
+        .map(d => math.max(1, blockTexts(d.xml, "w:p", "w:t").length / 20)).getOrElse(1)
+    case "pptx" => math.max(1, numberedParts(parts, "ppt/slides/slide").length)
+    case "xlsx" => math.max(1, numberedParts(parts, "xl/worksheets/sheet").length)
+    case _ => 1
+  }
+
+  private def toSpans(items: Seq[(String, String)]): Seq[Span] =
+    items.iterator.zipWithIndex.map { case ((k, t), i) => Span(k, t, "", i) }.toSeq
+
+  /** Minimal XML text escape for synthesis (attribute-safe). */
+  def escapeXml(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;").replace("\"", "&quot;")
+}

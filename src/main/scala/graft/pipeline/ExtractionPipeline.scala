@@ -42,6 +42,8 @@ object ExtractionPipeline {
             if (raw.text.trim.isEmpty) Seq.empty
             else Seq(Span(SpanKinds.Text, raw.text, "", 0)))
         case "csv" => Right(graft.sources.CsvText.extract(raw.text))
+        case "docx" | "pptx" | "xlsx" =>
+          graft.office.OfficeExtractor.extract(raw.content_kind, raw.office_parts)
         case other => Left(s"unsupported content_kind: $other")
       }
       spansOrErr match {

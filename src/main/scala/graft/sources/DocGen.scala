@@ -169,6 +169,58 @@ object DocGen {
     RawDoc(s"doc$id", "pdf_blocks", "", withImages, "", body.length.toLong, pageCount)
   }
 
+  // --------------------------------------------------------------- office
+
+  /** F13 office-format corpus: the same documents table re-synthesized
+    * as pre-parsed OOXML part payloads (kind by id % 3: docx / pptx /
+    * xlsx). Kept separate from the main html/pdf/text mix so the frozen
+    * span goldens and facet oracles stay stable.
+    */
+  def officeKindOf(id: Long): String =
+    (id % 3) match { case 0 => "docx"; case 1 => "pptx"; case _ => "xlsx" }
+
+  def synthesizeOffice(id: Long, text0: String): RawDoc = {
+    import graft.model.OfficePart
+    val esc = graft.office.OfficeExtractor.escapeXml _
+    val items = sentences(expand(id, text0)) ++ entitySentences(id)
+    officeKindOf(id) match {
+      case "docx" =>
+        val xml = "<w:document><w:body>" +
+          items.map(p => s"<w:p><w:r><w:t>${esc(p)}</w:t></w:r></w:p>").mkString +
+          "</w:body></w:document>"
+        RawDoc(s"doc$id", "docx", "", Seq.empty, "", xml.length.toLong,
+          math.max(1, items.length / 20), Seq(OfficePart("word/document.xml", xml)))
+      case "pptx" =>
+        val slides = items.grouped(3).toSeq
+        val parts = slides.zipWithIndex.map { case (sl, i) =>
+          OfficePart(s"ppt/slides/slide${i + 1}.xml",
+            "<p:sld><p:cSld><p:spTree>" +
+              sl.map(t =>
+                s"<p:sp><p:txBody><a:p><a:r><a:t>${esc(t)}</a:t></a:r></a:p></p:txBody></p:sp>").mkString +
+              "</p:spTree></p:cSld></p:sld>")
+        }
+        RawDoc(s"doc$id", "pptx", "", Seq.empty, "",
+          parts.map(_.xml.length.toLong).sum, slides.length, parts)
+      case _ =>
+        val rows = items.zipWithIndex.map { case (t, i) =>
+          s"""<row r="${i + 1}"><c t="inlineStr"><is><t>${i + 1}</t></is></c>""" +
+            s"""<c t="inlineStr"><is><t>${esc(t)}</t></is></c></row>"""
+        }
+        val sheet = "<worksheet><sheetData>" + rows.mkString + "</sheetData></worksheet>"
+        val wb = """<workbook><sheets><sheet name="Data" sheetId="1"/></sheets></workbook>"""
+        RawDoc(s"doc$id", "xlsx", "", Seq.empty, "", sheet.length.toLong, 1,
+          Seq(OfficePart("xl/workbook.xml", wb), OfficePart("xl/worksheets/sheet1.xml", sheet)))
+    }
+  }
+
+  def officeRawDocs(spark: SparkSession, sfDir: String): Dataset[RawDoc] = {
+    import spark.implicits._
+    docsTable(spark, sfDir)
+      .select("doc_id", "text")
+      .as[(Long, String)]
+      .map { case (id, text) => synthesizeOffice(id, text) }
+  }
+
   // ----------------------------------------------------------------- text
 
   private def synthText(id: Long, text: String): RawDoc = {
