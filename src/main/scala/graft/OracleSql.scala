@@ -170,6 +170,7 @@ object OracleSql {
       !    (doc_id % 10 >= 5 AND doc_id % 10 < 8) AS is_pdf,
       !    (doc_id % 10 >= 8) AS is_text,
       !    (doc_id % 10 >= 5 AND doc_id % 10 < 8 AND doc_id % 97 = 0) AS is_reject,
+      !    (doc_id % 10 < 5 AND (doc_id % 89 = 34 OR doc_id % 83 = 13)) AS is_url_reject,
       !    array_to_string(list_transform(
       !      range(CASE WHEN doc_id % 101 = 100 THEN 40 ELSE 1 + doc_id % 4 END), x -> text), ' ') AS expanded
       !  FROM documents),
@@ -205,7 +206,13 @@ object OracleSql {
     s"""WITH $docSynthCte
        !SELECT did AS doc_id,
        ! 'skipped: ' || (101 + id % 20) || ' pages exceeds 100-page limit' AS error
-       !FROM bodyq WHERE is_reject ORDER BY doc_id""".stripMargin('!')
+       !FROM bodyq WHERE is_reject
+       !UNION ALL
+       !SELECT did AS doc_id,
+       ! CASE WHEN id % 89 = 34 THEN 'HTTP 404 - not processable'
+       !  ELSE 'Unsupported content type: application/octet-stream' END AS error
+       !FROM bodyq WHERE is_url_reject
+       !ORDER BY doc_id""".stripMargin('!')
 
   val xTextSpans: String =
     s"""WITH $docSynthCte
@@ -215,17 +222,18 @@ object OracleSql {
   val xContentFlags: String =
     s"""WITH $docSynthCte
        !SELECT did AS doc_id,
-       ! (is_html AND id % 5 = 0) AS has_tables,
-       ! ((is_html AND id % 12 = 0) OR (is_pdf AND NOT is_reject AND id % 4 = 0)) AS has_images,
+       ! (ok_html AND id % 5 = 0) AS has_tables,
+       ! ((ok_html AND id % 12 = 0) OR (is_pdf AND NOT is_reject AND id % 4 = 0)) AS has_images,
        ! false AS has_formulas,
-       ! (is_html AND id % 8 = 0) AS has_code,
+       ! (ok_html AND id % 8 = 0) AS has_code,
        ! false AS has_links,
-       ! (is_html AND id % 7 = 0) AS has_lists,
-       ! (is_html OR (is_pdf AND NOT is_reject)) AS has_headers,
+       ! (ok_html AND id % 7 = 0) AS has_lists,
+       ! (ok_html OR (is_pdf AND NOT is_reject)) AS has_headers,
        ! false AS has_footnotes,
        ! false AS has_citations,
-       ! (is_html AND id % 5 = 0) AS has_structured_data
-       !FROM bodyq ORDER BY doc_id""".stripMargin('!')
+       ! (ok_html AND id % 5 = 0) AS has_structured_data
+       !FROM (SELECT *, is_html AND NOT is_url_reject AS ok_html FROM bodyq)
+       !ORDER BY doc_id""".stripMargin('!')
 
   val xPdfSpans: String =
     s"""WITH $docSynthCte,
@@ -264,7 +272,7 @@ object OracleSql {
        !  SELECT *,
        !    expanded || ' ' || s1 || ' ' || s2 AS para0,
        !    s3 || ' ' || s4 || ' ' || s5 AS para1
-       !  FROM ent WHERE id % 10 < 5),
+       !  FROM ent WHERE id % 10 < 5 AND NOT (id % 89 = 34 OR id % 83 = 13)),
        !hspans AS (
        !  SELECT did,
        !    [{'kind': 'heading', 'text': '# Document ' || id || ' Report', 'media_ref': ''}] ||

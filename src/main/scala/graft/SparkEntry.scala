@@ -97,6 +97,10 @@ object SparkEntry {
         .select(col("doc_id"), col("c.id").as("id"), col("c.type").as("type"),
           col("c.normalized").as("normalized"), col("c.count").as("count"))
         .orderBy(col("doc_id"), col("id"))),
+    // A2 distributed extension: corpus-level canonical entity table
+    // (one groupBy shuffle on (type, normalized); see CorpusCanonical)
+    "x_global_entities" -> ((s, dir) =>
+      graft.normalize.CorpusCanonical.globalEntities(extracted(s, dir))),
     "x_facts" -> ((s, dir) =>
       extracted(s, dir).select(col("doc_id"), explode(col("facts")).as("f"))
         .select(col("doc_id"), col("f.fact_type").as("fact_type"),

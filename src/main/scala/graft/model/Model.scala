@@ -61,7 +61,13 @@ final case class RawDoc(
     text: String,
     size_bytes: Long,
     page_count: Int,
-    office_parts: Seq[OfficePart] = Seq.empty)
+    office_parts: Seq[OfficePart] = Seq.empty,
+    // S3/S4 URL-source modeling (SURVEY §2.1): downloads happen outside
+    // the engine; rows arrive pre-populated with the response metadata
+    // the S5 URL validation gate needs (`fusion_cli.py:272-280,335-432`)
+    source_url: String = "",
+    http_status: Int = 200,
+    content_type: String = "")
 
 /** Entity record shape from the reference
   * (`pipeline/legacy/service_processor.py:758-766`), span flattened.
@@ -116,7 +122,12 @@ final case class DocMeta(
     primary_domain_confidence: Double,
     primary_document_type: String,
     domains: Map[String, Double],
-    domain_entities: Seq[String] = Seq.empty) // C4: "domain/entity" hits (deep-domain route only)
+    domain_entities: Seq[String] = Seq.empty, // C4: "domain/entity" hits (deep-domain route only)
+    // URL-source lineage (`yaml_metadata_engine.py:106-163` URL variant)
+    source_type: String = "file", // 'file' | 'url'
+    source_path: String = "",
+    http_status: Int = 0,
+    content_type: String = "")
 
 /** Full per-document pipeline output (FIXTURES.md §3). */
 final case class ExtractedDoc(

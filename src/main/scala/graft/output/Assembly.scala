@@ -37,6 +37,16 @@ object Assembly {
     sb ++= s"  page_count: ${m.page_count}\n"
     sb ++= s"  success: ${doc.success}\n"
     if (doc.error.nonEmpty) sb ++= s"  error: ${doc.error}\n"
+    // URL variant (`yaml_metadata_engine.py:106-163`): web-specific
+    // conversion fields, including validation outcome
+    if (m.source_type == "url") {
+      sb ++= s"  source_type: url\n"
+      sb ++= s"  source_path: ${m.source_path}\n"
+      sb ++= s"  content_type: ${m.content_type}\n"
+      sb ++= s"  http_status: ${m.http_status}\n"
+      sb ++= s"  validation_success: ${doc.success}\n"
+      sb ++= s"  proceed_to_classification: ${doc.success}\n"
+    }
     sb ++= s"classification:\n"
     sb ++= s"  primary_domain: ${m.primary_domain}\n"
     sb ++= s"  primary_domain_confidence: ${fmtD(m.primary_domain_confidence)}\n"

@@ -27,12 +27,45 @@ import org.apache.spark.sql.functions._
   */
 object ExtractionPipeline {
 
+  /** Download size cap — the reference's streamed URL fetch aborts past
+    * 10MB (`fusion_cli.py:335-432`).
+    */
+  val MaxUrlBytes: Long = 10L * 1024 * 1024
+
+  /** S5 URL validation (`fusion_cli.py:272-280` `validate_url`): HTTP
+    * 200, non-empty content, content-type whitelist — checked in the
+    * reference's order so reject messages match. Returns None when the
+    * doc may proceed to classification.
+    */
+  def validateUrl(raw: RawDoc): Option[String] = {
+    if (raw.source_url.isEmpty) return None
+    if (raw.http_status != 200) return Some(s"HTTP ${raw.http_status} - not processable")
+    if (raw.size_bytes == 0) return Some("Empty content received")
+    val ct = raw.content_type.toLowerCase
+    if (ct.nonEmpty && !Seq("html", "text", "pdf", "json").exists(ct.contains))
+      return Some(s"Unsupported content type: ${raw.content_type}")
+    if (raw.size_bytes > MaxUrlBytes)
+      return Some(s"Content exceeds ${MaxUrlBytes / (1024 * 1024)}MB limit")
+    None
+  }
+
+  private def urlMeta(raw: RawDoc, base: DocMeta): DocMeta =
+    if (raw.source_url.isEmpty) base
+    else base.copy(source_type = "url", source_path = raw.source_url,
+      http_status = raw.http_status, content_type = raw.content_type)
+
   /** Document-local fused stage function — pure; compiled automatons and
     * regexes are per-JVM singletons (AhoCorasick.cached / static
     * Patterns), so per-row cost is scan-only.
     */
   def processDoc(raw: RawDoc): ExtractedDoc = {
     try {
+      // S5 URL gate runs BEFORE conversion — a 404 body or a
+      // non-whitelisted payload must not reach the extractors
+      validateUrl(raw).foreach { err =>
+        return ExtractedDoc(raw.doc_id, Seq.empty, urlMeta(raw, DocMeta.empty),
+          Seq.empty, Seq.empty, Seq.empty, success = false, error = err)
+      }
       // stage 1-2: convert to spans
       val spansOrErr: Either[String, Seq[Span]] = raw.content_kind match {
         case "html" => Right(HtmlExtractor.extract(raw.html))
@@ -71,14 +104,14 @@ object ExtractionPipeline {
             if (cls.enableDeepDomainExtraction)
               Classifier.extractDomainEntities(cleanText, cls.domains.keySet)
             else Seq.empty
-          val meta = DocMeta(
+          val meta = urlMeta(raw, DocMeta(
             content_detection = flags,
             page_count = raw.page_count,
             primary_domain = cls.primaryDomain,
             primary_domain_confidence = cls.primaryDomainConfidence,
             primary_document_type = cls.primaryDocType,
             domains = cls.domains,
-            domain_entities = domainEntities)
+            domain_entities = domainEntities))
           ExtractedDoc(raw.doc_id, spans, meta, entities, canonical, facts,
             success = true, error = "")
       }

@@ -129,7 +129,14 @@ object DocGen {
     sb ++= "<footer><a href=\"/privacy\">Privacy</a> <a href=\"/terms\">Terms</a> © 2024</footer>"
     sb ++= "</body></html>"
     val html = sb.toString
-    RawDoc(s"doc$id", "html", html, Seq.empty, "", html.length.toLong, 1)
+    // HTML docs model the URL pipeline (S3/S4): pre-populated response
+    // metadata; every 89th residue-34 doc is a dead link (404), every
+    // 83rd residue-13 serves a non-whitelisted payload — both must fall
+    // to the S5 validation gate, not the extractors
+    RawDoc(s"doc$id", "html", html, Seq.empty, "", html.length.toLong, 1,
+      source_url = s"https://docs.example.com/doc$id.html",
+      http_status = if (id % 89 == 34) 404 else 200,
+      content_type = if (id % 83 == 13) "application/octet-stream" else "text/html; charset=utf-8")
   }
 
   // ------------------------------------------------------------------ pdf

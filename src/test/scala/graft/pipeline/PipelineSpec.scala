@@ -43,9 +43,13 @@ class PipelineSpec extends AnyFunSuite {
     val nIn = raw.count()
     val out = ExtractionPipeline.run(spark, raw).cache()
     assert(out.count() === nIn)
-    // >100-page synthetic PDFs (doc ids ≡ 0 mod 97, pdf mode) are rejects
+    // rejects: >100-page synthetic PDFs (ids ≡ 0 mod 97, pdf mode) plus
+    // URL-validation failures (html ids ≡ 34 mod 89 → 404, ≡ 13 mod 83 →
+    // non-whitelisted content type)
     val rejects = out.filter(!_.success).collect()
-    assert(rejects.forall(_.error.contains("page")))
+    assert(rejects.forall(r => r.error.contains("page") ||
+      r.error.contains("HTTP") || r.error.contains("content type")))
+    assert(rejects.exists(_.error == "HTTP 404 - not processable"))
     assert(rejects.forall(_.spans.isEmpty))
     val ok = out.filter(_.success)
     assert(ok.filter(_.spans.nonEmpty).count() === ok.count())
