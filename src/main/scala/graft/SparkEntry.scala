@@ -246,6 +246,12 @@ object SparkEntry {
         s.read.parquet(s"$dir/events.parquet"))
         .orderBy(col("window_start"), col("event_type"))),
     "q15_percentiles" -> ((s, dir) => graft.relational.Relational.percentiles(s, dir)),
+    // stream/batch parity for SESSIONS (q13's streaming twin): the
+    // flatMapGroupsWithState transform replayed over a MemoryStream,
+    // gated against the same gaps-and-islands oracle
+    "q18_stream_sessions" -> ((s, dir) =>
+      graft.streaming.EventStream.sessionizeReplay(
+        s, s.read.parquet(s"$dir/events.parquet"))),
 
     // ---- training-data text ops (DuckDB-verified formulas)
     "t1_token_count" -> ((s, dir) => graft.textops.TextOps.tokenCount(s, dir)),
@@ -371,6 +377,20 @@ object SparkEntry {
         |  sum(r.n_ret)::BIGINT AS n_returns, round(sum(r.qty), 2) AS total_qty
         |FROM returned r JOIN part p ON p.p_partkey = r.l_partkey
         |GROUP BY p.p_type ORDER BY p.p_type""".stripMargin,
+    "q18_stream_sessions" ->
+      """WITH o AS (SELECT user_id, ts, event_id,
+        |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        | FROM events),
+        |f AS (SELECT user_id, ts, event_id,
+        |  CASE WHEN prev_ts IS NULL OR date_diff('second', prev_ts, ts) > 1800
+        |   THEN 1 ELSE 0 END AS new_sess FROM o),
+        |g AS (SELECT user_id, ts,
+        |  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id FROM f)
+        |SELECT user_id, count(*) AS n_events,
+        | date_diff('second', min(ts), max(ts)) AS duration_s
+        |FROM g GROUP BY user_id, session_id
+        |ORDER BY user_id, n_events, duration_s""".stripMargin,
     "q16_windowed_events" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         | count(*) AS n, round(sum(value), 2) AS total

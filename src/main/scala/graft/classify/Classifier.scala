@@ -95,9 +95,13 @@ object Classifier {
     val doctypes = scoreFamily(text, doctypeAc, doctypeByKw, _ => 1.0, "document")
     val (pd, pdc) = domains.head
     val (pt, _) = doctypes.head
+    // C3 routing exactly as `service_processor.py:1922-1927`: skip is
+    // purely confidence < 5.0. The no-signal default path can never
+    // trip it — scoreFamily only ever emits "general" at 100.0, so a
+    // "general" doc always runs extraction, same as the reference.
     Classification(
       domains, pd, pdc, doctypes, pt,
-      skipEntityExtraction = pdc < 5.0 && pd != "general",
+      skipEntityExtraction = pdc < 5.0,
       enableDeepDomainExtraction = pdc >= 60.0)
   }
 }

@@ -38,12 +38,15 @@ object EventStream {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("total"))
 
-  val SessionGapMs: Long = 30 * 60 * 1000L
+  val SessionGapS: Long = 30 * 60
 
   /** Per-user sessionization with explicit state: a session closes when
     * no event arrives within 30 min of the last (event-time timeout), or
     * when an in-batch gap exceeds 30 min. Emits closed sessions only —
-    * the streaming twin of Relational.sessionize.
+    * the streaming twin of Relational.sessionize, and gap arithmetic is
+    * deliberately FLOOR-SECOND (like the batch twin's `unix_timestamp`
+    * difference) so stream and batch agree event-for-event on
+    * sub-second timestamps.
     */
   def sessionize(spark: SparkSession, events: Dataset[Event]): Dataset[SessionOut] = {
     import spark.implicits._
@@ -53,25 +56,26 @@ object EventStream {
       .flatMapGroupsWithState[SessionState, SessionOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          def emit(s: SessionState): SessionOut =
+            SessionOut(userId, new Timestamp(s.sessionStart * 1000L),
+              new Timestamp(s.lastTs * 1000L), s.nEvents, round2(s.totalValue))
           if (rows.isEmpty && state.hasTimedOut) {
             // watermark passed the gap: close and emit the open session
             val s = state.get
             state.remove()
-            Iterator.single(SessionOut(userId, new Timestamp(s.sessionStart),
-              new Timestamp(s.lastTs), s.nEvents, round2(s.totalValue)))
+            Iterator.single(emit(s))
           } else {
             val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
             var cur = state.getOption
             val closed = Seq.newBuilder[SessionOut]
             sorted.foreach { e =>
-              val t = e.ts.getTime
+              val t = Math.floorDiv(e.ts.getTime, 1000L) // floor second
               cur match {
-                case Some(s) if t - s.lastTs <= SessionGapMs =>
+                case Some(s) if t - s.lastTs <= SessionGapS =>
                   cur = Some(s.copy(lastTs = t, nEvents = s.nEvents + 1,
                     totalValue = s.totalValue + e.value))
                 case Some(s) =>
-                  closed += SessionOut(userId, new Timestamp(s.sessionStart),
-                    new Timestamp(s.lastTs), s.nEvents, round2(s.totalValue))
+                  closed += emit(s)
                   cur = Some(SessionState(t, t, 1L, e.value))
                 case None =>
                   cur = Some(SessionState(t, t, 1L, e.value))
@@ -79,7 +83,7 @@ object EventStream {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.lastTs + SessionGapMs)
+              state.setTimeoutTimestamp((s.lastTs + SessionGapS) * 1000L)
             }
             closed.result().iterator
           }
@@ -87,4 +91,45 @@ object EventStream {
   }
 
   private def round2(d: Double): Double = math.rint(d * 100) / 100
+
+  /** Driver-gated stream/batch parity surface: replay the events table
+    * chronologically through a MemoryStream in several micro-batches,
+    * flush open sessions with far-future sentinel rows (the watermark
+    * only advances between batches), and return the emitted sessions as
+    * (user_id, n_events, duration_s) — the multiset the DuckDB
+    * gaps-and-islands oracle reproduces exactly.
+    *
+    * MemoryStream is inherently a driver-side test source (production
+    * replaces it with Kafka/file sources); the collect here feeds the
+    * harness, not the engine — sessionize itself shuffles once on
+    * user_id and keeps state O(active users).
+    */
+  def sessionizeReplay(spark: SparkSession, events: DataFrame, numBatches: Int = 8): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val evs = events.select("event_id", "ts", "user_id", "event_type", "value").as[Event]
+      .collect().sortBy(e => (e.ts.getTime, e.event_id))
+    require(evs.nonEmpty, "no events to replay")
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    val name = "stream_sessions_sink"
+    val q = sessionize(spark, stream.toDS())
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      val chunk = math.max(1, evs.length / numBatches + 1)
+      evs.grouped(chunk).foreach { c => stream.addData(c.toSeq); q.processAllAvailable() }
+      // two sentinel batches: the first advances the watermark past every
+      // open session's timeout, the second triggers the timeout pass
+      val maxTs = evs.last.ts.getTime
+      stream.addData(Event(-1L, new Timestamp(maxTs + 2 * 3600 * 1000L), -1L, "flush", 0.0))
+      q.processAllAvailable()
+      stream.addData(Event(-2L, new Timestamp(maxTs + 4 * 3600 * 1000L), -1L, "flush", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name)
+      .filter(col("user_id") >= 0)
+      .selectExpr("user_id", "n_events",
+        "unix_timestamp(session_end) - unix_timestamp(session_start) AS duration_s")
+      .orderBy(col("user_id"), col("n_events"), col("duration_s"))
+  }
 }
