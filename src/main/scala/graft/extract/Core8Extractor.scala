@@ -202,7 +202,9 @@ object Core8Extractor {
 
   // ----------------------------------------------------------------- org
 
-  private def orgAc = AhoCorasick.cached("core8.orgs", Corpora.orgs.toSeq.sorted)
+  // cache keys carry the corpus version: a table-loaded bundle
+  // recompiles its automatons lazily on first use in each JVM
+  private def orgAc = AhoCorasick.cached(s"core8.orgs.${Corpora.version}", Corpora.orgs.toSeq.sorted)
 
   /** E4: ORG extractor — per-sentence AC over the org corpus with
     * word-boundary validation, plus capitalized runs ending in a legal /
@@ -248,8 +250,8 @@ object Core8Extractor {
 
   // ------------------------------------------------------------- gpe/loc
 
-  private def gpeAc = AhoCorasick.cached("core8.gpe", Corpora.gpe.keys.toSeq.sorted)
-  private def locAc = AhoCorasick.cached("core8.loc", Corpora.loc.keys.toSeq.sorted)
+  private def gpeAc = AhoCorasick.cached(s"core8.gpe.${Corpora.version}", Corpora.gpe.keys.toSeq.sorted)
+  private def locAc = AhoCorasick.cached(s"core8.loc.${Corpora.version}", Corpora.loc.keys.toSeq.sorted)
 
   /** E6/E7: gazetteer AC over the doc; len>2; dedup; cap 50. */
   private def extractGazetteer(text: String, ac: AhoCorasick, tpe: String): Seq[EntityMention] = {

@@ -1,11 +1,28 @@
 package graft.matching
 
-/** Built-in corpora — the engine's counterpart of the reference's
-  * foundation data (`knowledge/corpus/foundation_data/`: 429K first
-  * names, 99K last names, GPE/LOC gazetteers) and keyword sets
-  * (`config/pattern_sets.yaml:10-100`). Deterministic, dependency-free
-  * subsets sized for the sandbox; in production these load from a
-  * catalog table and broadcast (`Broadcast[Set[String]]`).
+/** The swappable gazetteer families (name corpora + GPE/LOC/ORG lists —
+  * the recall-bearing data the reference loads from
+  * `knowledge/corpus/foundation_data/`). Serializable: the production
+  * path collects a corpus table on the driver, broadcasts the bundle,
+  * and installs it per executor before the fused stage runs
+  * (ExtractionPipeline.run). `version` keys the per-JVM automaton
+  * caches so a new bundle compiles fresh automatons.
+  */
+final case class CorpusBundle(
+    version: String,
+    firstNames: Set[String],
+    lastNames: Set[String],
+    gpe: Map[String, String],
+    loc: Map[String, String],
+    orgs: Set[String]) extends Serializable
+
+/** Corpora — the engine's counterpart of the reference's foundation
+  * data (`knowledge/corpus/foundation_data/`: 429K first names, 99K
+  * last names, GPE/LOC gazetteers) and keyword sets
+  * (`config/pattern_sets.yaml:10-100`). Keyword families are static;
+  * the gazetteer families live in a swappable [[CorpusBundle]] so
+  * production loads them from a catalog table (CorpusTable) and ships
+  * them by broadcast. Built-ins are deterministic sandbox subsets.
   */
 object Corpora {
 
@@ -91,7 +108,7 @@ object Corpora {
   /** GPE gazetteer subset (countries / US states / major cities / agencies)
     * — `knowledge/corpus/foundation_data/gpe/` shape with subcategories.
     */
-  val gpe: Map[String, String] = Map( // value -> subcategory
+  private val builtinGpe: Map[String, String] = Map( // value -> subcategory
     "united states" -> "country", "canada" -> "country", "mexico" -> "country",
     "france" -> "country", "germany" -> "country", "japan" -> "country",
     "china" -> "country", "india" -> "country", "brazil" -> "country",
@@ -110,7 +127,7 @@ object Corpora {
     "sec" -> "agency", "dot" -> "agency", "nasa" -> "agency", "irs" -> "agency")
 
   /** LOC gazetteer subset (natural features). */
-  val loc: Map[String, String] = Map(
+  private val builtinLoc: Map[String, String] = Map(
     "mississippi river" -> "river", "colorado river" -> "river",
     "hudson river" -> "river", "amazon river" -> "river", "nile" -> "river",
     "rocky mountains" -> "mountain", "appalachian mountains" -> "mountain",
@@ -123,7 +140,7 @@ object Corpora {
   /** ORG gazetteer + suffix cues (reference uses corpus + suffix context,
     * `service_processor.py:1422-1520,2896-3041`).
     */
-  val orgs: Set[String] = Set(
+  private val builtinOrgs: Set[String] = Set(
     "acme corporation", "general electric", "microsoft", "apple inc",
     "google", "amazon", "boeing", "lockheed martin", "exxonmobil",
     "chevron", "pfizer", "johnson & johnson", "goldman sachs",
@@ -146,7 +163,7 @@ object Corpora {
   /** First/last-name corpora subset (reference broadcasts 429K/99K name
     * files; `service_processor.py:205-244`).
     */
-  val firstNames: Set[String] = Set(
+  private val builtinFirstNames: Set[String] = Set(
     "john", "jane", "michael", "sarah", "david", "emily", "james", "mary",
     "robert", "patricia", "william", "jennifer", "richard", "linda",
     "joseph", "elizabeth", "thomas", "susan", "charles", "jessica",
@@ -168,7 +185,7 @@ object Corpora {
     "megan", "noah", "andrea", "ethan", "cheryl", "carlos", "hannah",
     "wei", "ahmed", "yuki", "pierre", "olga", "ingrid", "raj", "priya")
 
-  val lastNames: Set[String] = Set(
+  private val builtinLastNames: Set[String] = Set(
     "smith", "johnson", "williams", "brown", "jones", "garcia", "miller",
     "davis", "rodriguez", "martinez", "hernandez", "lopez", "gonzalez",
     "wilson", "anderson", "thomas", "taylor", "moore", "jackson",
@@ -186,6 +203,33 @@ object Corpora {
     "castillo", "sanders", "patel", "myers", "long", "ross", "foster",
     "jimenez", "chen", "wang", "zhang", "kumar", "singh", "tanaka",
     "mueller", "dubois", "ivanov")
+
+  // ------------------------------------------------- swappable bundle
+
+  /** The built-in bundle: sandbox-sized deterministic subsets. */
+  val builtIn: CorpusBundle = CorpusBundle("builtin",
+    builtinFirstNames, builtinLastNames, builtinGpe, builtinLoc, builtinOrgs)
+
+  @volatile private var active: CorpusBundle = builtIn
+
+  /** Install a (usually broadcast-shipped) bundle. Idempotent per
+    * version — executors call this at partition start
+    * (ExtractionPipeline), so a table-loaded corpus reaches every JVM
+    * without reshipping per task. Version-keyed automaton caches
+    * (AhoCorasick.cached) recompile lazily on first use.
+    */
+  def install(b: CorpusBundle): Unit = if (active.version != b.version) active = b
+
+  def reset(): Unit = active = builtIn
+
+  def bundle: CorpusBundle = active
+  def version: String = active.version
+
+  def firstNames: Set[String] = active.firstNames
+  def lastNames: Set[String] = active.lastNames
+  def gpe: Map[String, String] = active.gpe
+  def loc: Map[String, String] = active.loc
+  def orgs: Set[String] = active.orgs
 
   /** Person titles / suffixes (reference `person_entity_extractor.py` +
     * normalizer title strip `entity_normalizer.py:437-455`).

@@ -143,7 +143,12 @@ object ExtractionPipeline {
     import spark.implicits._
     val p = if (partitions > 0) partitions else spark.sparkContext.defaultParallelism * 2
     val balanced = if (salt) salted(raw, p) else raw
-    balanced.mapPartitions(_.map(processDoc))
+    // ship the driver's active corpus bundle (built-in or table-loaded)
+    // to every executor: one broadcast, an idempotent install per JVM
+    // per version at partition start (no-op when already current)
+    val installCorpus = graft.matching.CorpusTable.broadcastInstaller(
+      spark, graft.matching.Corpora.bundle)
+    balanced.mapPartitions { it => installCorpus(); it.map(processDoc) }
   }
 
   /** Corpus-level metrics via `observe()` — the Spark counterpart of the
@@ -172,7 +177,10 @@ object ExtractionPipeline {
     import spark.implicits._
     val p = if (partitions > 0) partitions else spark.sparkContext.defaultParallelism * 2
     val balanced = if (salt) salted(raw, p) else raw
+    val installCorpus = graft.matching.CorpusTable.broadcastInstaller(
+      spark, graft.matching.Corpora.bundle)
     balanced.mapPartitions { it =>
+      installCorpus()
       var docs = 0L
       var pages = 0L
       it.foreach { r =>

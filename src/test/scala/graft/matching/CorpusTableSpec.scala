@@ -1,0 +1,80 @@
+package graft.matching
+
+import graft.extract.Core8Extractor
+import graft.pipeline.ExtractionPipeline
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Corpora-from-table: the production loading path (corpus table →
+  * driver collect → broadcast → per-executor install), exercised for
+  * real instead of only documented. Mirrors the reference's
+  * foundation-data loading (`utils/core8_corpus_loader.py:66-247`,
+  * name-corpus wiring `service_processor.py:205-244`).
+  */
+class CorpusTableSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .appName("corpus-table")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = {
+    Corpora.reset()
+    spark.stop()
+  }
+
+  private val text =
+    "Contact Zofia Kowalczyk at the Warsaw office. Kenji Yamamoto approved the report."
+
+  test("broadened corpus table is deterministic and substantially larger than the seed") {
+    val rows = CorpusGen.rows
+    assert(rows === CorpusGen.rows) // pure function, two builds identical
+    val byKind = rows.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(byKind("first_name") > Corpora.builtIn.firstNames.size)
+    assert(byKind("last_name") > 2 * Corpora.builtIn.lastNames.size,
+      s"derived tier missing: ${byKind("last_name")}")
+    assert(rows.forall(r => CorpusTable.Kinds.contains(r._1)))
+  }
+
+  test("names outside the built-in seed are found only after the table loads") {
+    import spark.implicits._
+    Corpora.reset()
+    val before = Core8Extractor.extractAll(text)
+      .filter(_.`type` == "PERSON").map(_.value)
+    assert(!before.contains("Zofia Kowalczyk"), s"unexpected baseline hit: $before")
+
+    // production path: table -> bundle -> broadcast install via the
+    // pipeline (local mode shares the JVM; the install call is the same
+    // one executors run at partition start)
+    val table = CorpusGen.rows.toDF("kind", "value", "meta")
+    val bundle = CorpusTable.load(spark, table, version = "gen-v1")
+    assert(bundle.firstNames.contains("zofia") && bundle.lastNames.contains("kowalczyk"))
+    Corpora.install(bundle)
+
+    val after = Core8Extractor.extractAll(text)
+      .filter(_.`type` == "PERSON").map(_.value)
+    assert(after.contains("Zofia Kowalczyk"), s"after load: $after")
+    assert(after.contains("Kenji Yamamoto"), s"after load: $after")
+    Corpora.reset()
+  }
+
+  test("pipeline run ships the loaded bundle to partitions (higher entity recall)") {
+    import spark.implicits._
+    val raw = spark.createDataset(Seq(
+      graft.model.RawDoc("t1", "text", "", Seq.empty, text, text.length.toLong, 1)))
+
+    Corpora.reset()
+    val baseline = ExtractionPipeline.run(spark, raw).collect().head
+      .entities.count(_.`type` == "PERSON")
+
+    val table = CorpusGen.rows.toDF("kind", "value", "meta")
+    Corpora.install(CorpusTable.load(spark, table, version = "gen-v1"))
+    val loaded = ExtractionPipeline.run(spark, raw).collect().head
+      .entities.count(_.`type` == "PERSON")
+    assert(loaded > baseline, s"recall did not improve: $baseline -> $loaded")
+    Corpora.reset()
+  }
+}
