@@ -104,16 +104,22 @@ object EventStream {
     * harness, not the engine — sessionize itself shuffles once on
     * user_id and keeps state O(active users).
     */
-  def sessionizeReplay(spark: SparkSession, events: DataFrame, numBatches: Int = 8): org.apache.spark.sql.DataFrame = {
+  def sessionizeReplay(spark: SparkSession, events: DataFrame, numBatches: Int = 6): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val evs = events.select("event_id", "ts", "user_id", "event_type", "value").as[Event]
       .collect().sortBy(e => (e.ts.getTime, e.event_id))
     require(evs.nonEmpty, "no events to replay")
+    // child session: state-store partition count scales with ACTIVE KEYS,
+    // and every micro-batch pays a per-partition state commit — 8
+    // partitions for a replay harness instead of the session-wide 32
+    // (production sizes this to key cardinality / executor count)
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
     val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
     val name = "stream_sessions_sink"
-    val q = sessionize(spark, stream.toDS())
+    val q = sessionize(ss, stream.toDS())
       .writeStream.format("memory").queryName(name).outputMode("append").start()
     try {
       val chunk = math.max(1, evs.length / numBatches + 1)
@@ -126,7 +132,7 @@ object EventStream {
       stream.addData(Event(-2L, new Timestamp(maxTs + 4 * 3600 * 1000L), -1L, "flush", 0.0))
       q.processAllAvailable()
     } finally q.stop()
-    spark.table(name)
+    ss.table(name)
       .filter(col("user_id") >= 0)
       .selectExpr("user_id", "n_events",
         "unix_timestamp(session_end) - unix_timestamp(session_start) AS duration_s")
