@@ -309,6 +309,171 @@ object OracleSql {
        !  unnest(spans, recursive := true)
        !FROM hspans ORDER BY doc_id, "offset"""".stripMargin('!')
 
+  // --------------------------------------- classification facet oracles
+  //
+  // The classifier's weighted-AC scoring re-expressed as SQL generated
+  // from the SAME Corpora constants the engine compiles automatons from
+  // (the established pattern: two sides cannot drift). Occurrence
+  // counting: single-token keywords count exact token matches
+  // ([a-z0-9_]+ tokenization ≡ the automaton's word-boundary predicate);
+  // multi-word/punctuated keywords count boundary-context regex matches
+  // — equivalent unless two such phrases sit ≤1 char apart (cannot
+  // happen in this corpus; single-token keywords are immune by
+  // construction). All keyword weights are exact binary multiples of
+  // 0.5, so the SQL's sum order matches the automaton's fold exactly.
+
+  private def reEscape(s: String): String = s.replaceAll("([^a-zA-Z0-9 _])", "\\\\$1")
+
+  /** Occurrence count of one keyword over (toks, padded lmd). */
+  private def kwCount(kw: String, tokCol: String, textCol: String): String =
+    if (kw.matches("[a-z0-9_]+")) s"len(list_filter($tokCol, t -> t = '$kw'))"
+    else s"len(regexp_extract_all(' ' || $textCol || ' ', '(^|[^a-z0-9_])(${reEscape(kw)})($$|[^a-z0-9_])'))"
+
+  private def scoreColumns(fam: Map[String, Map[String, Double]], prefix: String,
+      tokCol: String, textCol: String): String =
+    fam.toSeq.sortBy(_._1).map { case (dom, kws) =>
+      "(" + kws.toSeq.sortBy(_._1)
+        .map { case (kw, w) => s"${kwCount(kw, tokCol, textCol)} * $w" }
+        .mkString(" + ") + s") AS ${prefix}_$dom"
+    }.mkString(",\n  ")
+
+  private def famNames(fam: Map[String, Map[String, Double]]): Seq[String] =
+    fam.keys.toSeq.sorted
+
+  /** Markdown reconstruction per non-reject doc (spans joined by \n —
+    * exactly ExtractionPipeline's classify input), tokenized. Requires
+    * the docSynthCte prefix. MATERIALIZED: the score columns reference
+    * toks/lmd ~120×, and DuckDB would otherwise inline the regex chain
+    * per reference.
+    */
+  private val mdCte: String =
+    """pchunks AS (
+      !  SELECT *, ((length(body) + 239) // 240)::INT AS nchunks,
+      !    list_transform(range((length(body) + 239) // 240),
+      !      i -> trim(substr(body, (i * 240 + 1)::INT, 240))) AS ch
+      !  FROM bodyq WHERE is_pdf AND NOT is_reject),
+      !pmd AS (
+      !  SELECT did, id,
+      !    '# ' || did || chr(10) ||
+      !    array_to_string(flatten(list_transform(range((nchunks + 3) // 4), p ->
+      !      ['## Page ' || (p + 1)] ||
+      !      (CASE WHEN id % 3 = 0 THEN
+      !        [array_to_string(list_filter(ch[(p*4+1)::INT:least(nchunks, p*4+4)::INT], (x, i) -> i % 2 = 1), chr(10))] ||
+      !        CASE WHEN least(nchunks, p*4+4) - p*4 > 1 THEN
+      !          [array_to_string(list_filter(ch[(p*4+1)::INT:least(nchunks, p*4+4)::INT], (x, i) -> i % 2 = 0), chr(10))]
+      !        ELSE [] END
+      !      ELSE [array_to_string(ch[(p*4+1)::INT:least(nchunks, p*4+4)::INT], chr(10))] END) ||
+      !      CASE WHEN p = 0 AND id % 4 = 0 THEN ['diagram for doc ' || id] ELSE [] END ||
+      !      CASE WHEN p < (nchunks + 3) // 4 - 1 THEN ['---'] ELSE [] END)), chr(10)) AS md
+      !  FROM pchunks),
+      !hp AS (
+      !  SELECT *, expanded || ' ' || s1 || ' ' || s2 AS para0, s3 || ' ' || s4 || ' ' || s5 AS para1
+      !  FROM ent WHERE id % 10 < 5 AND NOT (id % 89 = 34 OR id % 83 = 13)),
+      !hmd AS (
+      !  SELECT did, id, array_to_string(
+      !    ['# Document ' || id || ' Report'] ||
+      !    [CASE WHEN id % 3 = 0 THEN regexp_replace(para0, '^(\w+) (\w+)', '**\1** *\2*') ELSE para0 END] ||
+      !    CASE WHEN id % 2 = 0 THEN ['## Section 1 Findings'] ELSE [] END ||
+      !    [para1] ||
+      !    CASE WHEN id % 3 = 0 THEN
+      !      CASE WHEN id % 4 = 0 THEN ['figure 2 for doc ' || id] ELSE [] END || [s6]
+      !    ELSE [] END ||
+      !    CASE WHEN id % 7 = 0 THEN ['- inspection checklist', '- equipment log', '- training record'] ELSE [] END ||
+      !    CASE WHEN id % 6 = 0 THEN ['> Compliance is verified during each quarterly review.'] ELSE [] END ||
+      !    CASE WHEN id % 5 = 0 THEN ['| Item | Qty |' || chr(10) || '| --- | --- |' || chr(10) ||
+      !       '| unit-' || id || ' | ' || (id % 100) || ' |' || chr(10) || '| spare | ' || (id % 7) || ' |'] ELSE [] END ||
+      !    CASE WHEN id % 8 = 0 THEN ['status = check(sensor)' || chr(10) || 'if status: alert()'] ELSE [] END,
+      !    chr(10)) AS md
+      !  FROM hp),
+      !mdq AS (
+      !  SELECT did, id, md FROM pmd
+      !  UNION ALL SELECT did, id, md FROM hmd
+      !  UNION ALL SELECT did, id, body AS md FROM bodyq WHERE is_text),
+      !tokd AS MATERIALIZED (SELECT did, id, lower(md) AS lmd,
+      !  regexp_extract_all(lower(md), '[a-z0-9_]+') AS toks FROM mdq)""".stripMargin('!')
+
+  /** C1-C3 classification oracle: weighted keyword scores →
+    * percent-normalize → argmax with name-asc tiebreak; rejects fall to
+    * the general/document defaults.
+    */
+  val xClassify: String = {
+    import graft.matching.Corpora.{domainKeywords, doctypeKeywords}
+    val dScores = scoreColumns(domainKeywords, "dom", "toks", "lmd")
+    val tScores = scoreColumns(doctypeKeywords, "dt", "toks", "lmd")
+    val dN = famNames(domainKeywords)
+    val tN = famNames(doctypeKeywords)
+    val dTotal = dN.map(d => s"dom_$d").mkString(" + ")
+    val tTotal = tN.map(d => s"dt_$d").mkString(" + ")
+    val dMx = "greatest(" + dN.map(d => s"dom_$d").mkString(", ") + ")"
+    val tMx = "greatest(" + tN.map(d => s"dt_$d").mkString(", ") + ")"
+    val dArg = "CASE " + dN.map(d => s"WHEN dom_$d = mx THEN '$d'").mkString(" ") + " END"
+    val tArg = "CASE " + tN.map(d => s"WHEN dt_$d = mx2 THEN '$d'").mkString(" ") + " END"
+    s"""WITH $docSynthCte,
+       !$mdCte,
+       !scored AS MATERIALIZED (
+       ! SELECT did, id,
+       !  $dScores,
+       !  $tScores
+       ! FROM tokd),
+       !agg AS (
+       ! SELECT *, $dTotal AS dom_total, $dMx AS mx,
+       !  $tTotal AS dt_total, $tMx AS mx2
+       ! FROM scored)
+       !SELECT did AS doc_id,
+       ! CASE WHEN dom_total <= 0 THEN 'general' ELSE $dArg END AS primary_domain,
+       ! CASE WHEN dom_total <= 0 THEN 100.0 ELSE round(mx / dom_total * 100, 2) END AS confidence,
+       ! CASE WHEN dt_total <= 0 THEN 'document' ELSE $tArg END AS doc_type
+       !FROM agg
+       !UNION ALL
+       !SELECT did AS doc_id, 'general' AS primary_domain, 100.0 AS confidence,
+       ! 'document' AS doc_type
+       !FROM bodyq WHERE is_reject OR is_url_reject
+       !ORDER BY doc_id""".stripMargin('!')
+  }
+
+  /** C4 deep-domain entity oracle: docs with primary confidence >= 60
+    * match domain-entity terms (word-boundary) over the CLEANED text
+    * against every domain that scored > 0.
+    */
+  val xDomainEntities: String = {
+    import graft.matching.Corpora.{domainKeywords, domainEntities}
+    val dScores = scoreColumns(domainKeywords, "dom", "toks", "lmd")
+    val dN = famNames(domainKeywords)
+    val dTotal = dN.map(d => s"dom_$d").mkString(" + ")
+    val dMx = "greatest(" + dN.map(d => s"dom_$d").mkString(", ") + ")"
+    // cleanFormatting in SQL (Core8Extractor.cleanFormatting): the
+    // emphasis unwrap loses its lookarounds (RE2), equivalent on text
+    // where single-star runs never abut word chars — true by synthesis
+    val cleanExpr =
+      """regexp_replace(regexp_replace(regexp_replace(replace(replace(lmd, '**', ''), '`', ''),
+        !    '\*([^*\n]+)\*', '\1', 'g'),
+        !    '(^|\n)#+ +', '\1', 'g'),
+        !    '(^|\n)> +', '\1', 'g')""".stripMargin('!')
+    val entityCases = domainEntities.toSeq.sortBy(_._1).flatMap { case (dom, ents) =>
+      ents.sorted.map { e =>
+        s"CASE WHEN dom_$dom > 0 AND ${kwCount(e, "ctoks", "lclean")} > 0 THEN '$dom/$e' END"
+      }
+    }.mkString("[", ",\n  ", "]")
+    s"""WITH $docSynthCte,
+       !$mdCte,
+       !scored AS MATERIALIZED (
+       ! SELECT did, id, lmd,
+       !  $dScores
+       ! FROM tokd),
+       !agg AS (
+       ! SELECT *, $dTotal AS dom_total, $dMx AS mx FROM scored),
+       !deep AS MATERIALIZED (
+       ! SELECT *,
+       !  $cleanExpr AS lclean,
+       !  regexp_extract_all($cleanExpr, '[a-z0-9_]+') AS ctoks
+       ! FROM agg
+       ! WHERE dom_total > 0 AND round(mx / dom_total * 100, 2) >= 60)
+       !SELECT did AS doc_id,
+       ! unnest(list_filter($entityCases, x -> x IS NOT NULL)) AS domain_entity
+       !FROM deep
+       !ORDER BY doc_id, domain_entity""".stripMargin('!')
+  }
+
   /** Office corpus span reconstruction (DocGen.synthesizeOffice →
     * OfficeExtractor): docx = one text span per paragraph; pptx =
     * `## Slide N` page breaks + shape texts in slide groups of 3;

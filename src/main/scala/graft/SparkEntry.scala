@@ -407,6 +407,8 @@ object SparkEntry {
     // hash-gated, not rows-only
     "x_rejects" -> OracleSql.xRejects,
     "x_office_spans" -> OracleSql.xOfficeSpans,
+    "x_classify" -> OracleSql.xClassify,
+    "x_domain_entities" -> OracleSql.xDomainEntities,
     "x_text_spans" -> OracleSql.xTextSpans,
     "x_content_flags" -> OracleSql.xContentFlags,
     "x_pdf_spans" -> OracleSql.xPdfSpans,
