@@ -474,6 +474,119 @@ object OracleSql {
        !ORDER BY doc_id, domain_entity""".stripMargin('!')
   }
 
+  /** E1-E19 Core-8 extraction oracle over the modes whose clean text is
+    * exactly reconstructable (html + text). PDF two-column docs split
+    * sentences at 240-char chunk boundaries and reorder columns, so
+    * their entity surface is a function of the chunking — those stay
+    * under the rows-check + span-sequence oracle. Here every entity's
+    * (type, value, start, end) is arithmetic: the injected sentences
+    * are the only entity-bearing text, each value occurs exactly once,
+    * and offsets follow from strpos over the cleaned markdown (the same
+    * text Core8Extractor runs on).
+    */
+  val xEntitiesCore: String =
+    """WITH SYNTH,
+      !hp AS (
+      !  SELECT *, expanded || ' ' || s1 || ' ' || s2 AS para0, s3 || ' ' || s4 || ' ' || s5 AS para1
+      !  FROM ent WHERE id % 10 < 5 AND NOT (id % 89 = 34 OR id % 83 = 13)),
+      !hmd AS (
+      !  SELECT did, id, array_to_string(
+      !    ['# Document ' || id || ' Report'] ||
+      !    [CASE WHEN id % 3 = 0 THEN regexp_replace(para0, '^(\w+) (\w+)', '**\1** *\2*') ELSE para0 END] ||
+      !    CASE WHEN id % 2 = 0 THEN ['## Section 1 Findings'] ELSE [] END ||
+      !    [para1] ||
+      !    CASE WHEN id % 3 = 0 THEN
+      !      CASE WHEN id % 4 = 0 THEN ['figure 2 for doc ' || id] ELSE [] END || [s6]
+      !    ELSE [] END ||
+      !    CASE WHEN id % 7 = 0 THEN ['- inspection checklist', '- equipment log', '- training record'] ELSE [] END ||
+      !    CASE WHEN id % 6 = 0 THEN ['> Compliance is verified during each quarterly review.'] ELSE [] END ||
+      !    CASE WHEN id % 5 = 0 THEN ['| Item | Qty |' || chr(10) || '| --- | --- |' || chr(10) ||
+      !       '| unit-' || id || ' | ' || (id % 100) || ' |' || chr(10) || '| spare | ' || (id % 7) || ' |'] ELSE [] END ||
+      !    CASE WHEN id % 8 = 0 THEN ['status = check(sensor)' || chr(10) || 'if status: alert()'] ELSE [] END,
+      !    chr(10)) AS md
+      !  FROM hp),
+      !mdq AS (
+      !  SELECT did, id, md FROM hmd
+      !  UNION ALL SELECT did, id, body AS md FROM bodyq WHERE is_text),
+      !cleanq AS MATERIALIZED (
+      !  SELECT did, id,
+      !    regexp_replace(regexp_replace(regexp_replace(replace(replace(md, '**', ''), '`', ''),
+      !      '\*([^*\n]+)\*', '\1', 'g'),
+      !      '(^|\n)#+ +', '\1', 'g'),
+      !      '(^|\n)> +', '\1', 'g') AS clean
+      !  FROM mdq),
+      !vals AS (
+      !  SELECT did, id,
+      !    (['John','Sarah','Michael','Emily','David','Jane'])[(id % 6 + 1)::INT] || ' ' ||
+      !      (['Smith','Johnson','Garcia','Chen','Patel','Brown'])[((id // 6) % 6 + 1)::INT] AS v_person,
+      !    '(555) ' || (100 + id % 900) || '-' || (1000 + id % 9000) AS v_phone,
+      !    (['January','February','March','April','June','July','August','September','October','November'])[(id % 10 + 1)::INT]
+      !      || ' ' || (id % 28 + 1) || ', ' || (2020 + id % 6) AS v_date,
+      !    (id % 11 + 1) || ':' || (CASE WHEN id % 2 = 0 THEN '30' ELSE '15' END) || ' PM' AS v_time,
+      !    (['Chicago','Houston','Seattle','Boston','Denver','Atlanta'])[(id % 6 + 1)::INT] AS v_gpe,
+      !    '$' || format('{:,}', (id % 90 + 10) * 250) AS v_money,
+      !    '29 CFR 1926.' || (id % 400 + 100) AS v_reg,
+      !    (id % 20 + 20) || '-' || (id % 20 + 27) || ' inches' AS v_meas1,
+      !    (id % 90 + 1) || ' days' AS v_meas2,
+      !    'Mr. ' || (['Smith','Johnson','Garcia','Chen','Patel','Brown'])[((id // 6) % 6 + 1)::INT] AS v_person2
+      !  FROM ent),
+      !ents AS (
+      !  SELECT c.did, c.clean,
+      !    unnest([
+      !      {'type': 'PERSON', 'value': v_person},
+      !      {'type': 'PHONE', 'value': v_phone},
+      !      {'type': 'DATE', 'value': v_date},
+      !      {'type': 'TIME', 'value': v_time},
+      !      {'type': 'GPE', 'value': v_gpe},
+      !      {'type': 'MONEY', 'value': v_money},
+      !      {'type': 'REGULATION', 'value': v_reg},
+      !      {'type': 'MEASUREMENT', 'value': v_meas1},
+      !      {'type': 'MEASUREMENT', 'value': v_meas2},
+      !      {'type': 'PERSON', 'value': v_person2}] ||
+      !      CASE WHEN v.id % 3 = 0 THEN [{'type': 'GPE', 'value': 'OSHA'}] ELSE [] END) AS e
+      !  FROM cleanq c JOIN vals v ON v.did = c.did)
+      !SELECT did AS doc_id, e['type'] AS type, e['value'] AS value,
+      !  (strpos(clean, e['value']) - 1)::INTEGER AS start,
+      !  (strpos(clean, e['value']) - 1 + length(e['value']))::INTEGER AS "end"
+      !FROM ents
+      !ORDER BY doc_id, start, type""".stripMargin('!').replace("WITH SYNTH", s"WITH $docSynthCte")
+
+  /** X1 SPO fact oracle over the reconstructable modes: each non-pdf doc
+    * carries exactly four facts from the injected sentences — the
+    * financial-impact amount, the regulation citation (whose object
+    * keeps the sentence period: the `[\d.]+` citation regex eats it),
+    * the modal requirement (whose lazy subject spans up to the second
+    * modal verb), and the within-N-days time requirement. Confidences
+    * are constant because the token arities of every subject/object are
+    * fixed by the sentence templates.
+    */
+  val xFactsCore: String =
+    s"""WITH $docSynthCte,
+       !nonpdf AS (SELECT * FROM ent WHERE (id % 10 < 5 AND NOT (id % 89 = 34 OR id % 83 = 13))
+       !  OR id % 10 >= 8),
+       !facts AS (
+       !  SELECT did, id, unnest([
+       !    {'fact_type': 'financial_impact', 'subject': 'penalty', 'predicate': 'HAS_AMOUNT',
+       !     'obj': '$$' || format('{:,}', (id % 90 + 10) * 250),
+       !     'confidence': 0.8, 'actionable': false},
+       !    {'fact_type': 'regulation_citation', 'subject': 'Regulation', 'predicate': 'CITES',
+       !     'obj': '29 CFR 1926.' || (id % 400 + 100) || '.',
+       !     'confidence': 0.9, 'actionable': false},
+       !    {'fact_type': 'requirement',
+       !     'subject': 'Guardrails must measure ' || (id % 20 + 20) || '-' || (id % 20 + 27)
+       !       || ' inches and reports',
+       !     'predicate': 'REQUIRED_TO',
+       !     'obj': 'filed within ' || (id % 90 + 1) || ' days',
+       !     'confidence': 0.9, 'actionable': true},
+       !    {'fact_type': 'time_requirement', 'subject': 'Time Requirement', 'predicate': 'HAS_VALUE',
+       !     'obj': (id % 90 + 1) || ' days',
+       !     'confidence': 0.9, 'actionable': true}]) AS f
+       !  FROM nonpdf)
+       !SELECT did AS doc_id, f['fact_type'] AS fact_type, f['subject'] AS subject,
+       !  f['predicate'] AS predicate, f['obj'] AS object,
+       !  f['confidence'] AS confidence, f['actionable'] AS actionable
+       !FROM facts ORDER BY doc_id, fact_type""".stripMargin('!')
+
   /** Office corpus span reconstruction (DocGen.synthesizeOffice →
     * OfficeExtractor): docx = one text span per paragraph; pptx =
     * `## Slide N` page breaks + shape texts in slide groups of 3;

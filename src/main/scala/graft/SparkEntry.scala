@@ -92,6 +92,15 @@ object SparkEntry {
         .select(col("doc_id"), col("e.type").as("type"), col("e.value").as("value"),
           col("e.start").as("start"), col("e.end").as("end"))
         .orderBy(col("doc_id"), col("start"), col("type"))),
+    // Core-8 extraction hash-gate over the exactly-reconstructable modes
+    // (html + text; pdf chunking mangles entity surface — see oracle doc)
+    "x_entities_core" -> ((s, dir) =>
+      extracted(s, dir)
+        .filter(d => DocGen.kindOf(d.doc_id) != "pdf_blocks")
+        .select(col("doc_id"), explode(col("entities")).as("e"))
+        .select(col("doc_id"), col("e.type").as("type"), col("e.value").as("value"),
+          col("e.start").as("start"), col("e.end").as("end"))
+        .orderBy(col("doc_id"), col("start"), col("type"))),
     "x_canonical_entities" -> ((s, dir) =>
       extracted(s, dir).select(col("doc_id"), explode(col("canonical_entities")).as("c"))
         .select(col("doc_id"), col("c.id").as("id"), col("c.type").as("type"),
@@ -108,6 +117,16 @@ object SparkEntry {
           col("f.object").as("object"), col("f.confidence").as("confidence"),
           col("f.actionable").as("actionable"))
         .orderBy(col("doc_id"), col("f.start"))),
+    // SPO fact hash-gate over the reconstructable modes (see x_entities_core)
+    "x_facts_core" -> ((s, dir) =>
+      extracted(s, dir)
+        .filter(d => DocGen.kindOf(d.doc_id) != "pdf_blocks")
+        .select(col("doc_id"), explode(col("facts")).as("f"))
+        .select(col("doc_id"), col("f.fact_type").as("fact_type"),
+          col("f.subject").as("subject"), col("f.predicate").as("predicate"),
+          col("f.object").as("object"), col("f.confidence").as("confidence"),
+          col("f.actionable").as("actionable"))
+        .orderBy(col("doc_id"), col("fact_type"))),
     "x_rejects" -> ((s, dir) =>
       extracted(s, dir).filter(!col("success"))
         .select(col("doc_id"), col("error")).orderBy(col("doc_id"))),
@@ -409,6 +428,8 @@ object SparkEntry {
     "x_office_spans" -> OracleSql.xOfficeSpans,
     "x_classify" -> OracleSql.xClassify,
     "x_domain_entities" -> OracleSql.xDomainEntities,
+    "x_entities_core" -> OracleSql.xEntitiesCore,
+    "x_facts_core" -> OracleSql.xFactsCore,
     "x_text_spans" -> OracleSql.xTextSpans,
     "x_content_flags" -> OracleSql.xContentFlags,
     "x_pdf_spans" -> OracleSql.xPdfSpans,
