@@ -587,6 +587,43 @@ object OracleSql {
        !  f['confidence'] AS confidence, f['actionable'] AS actionable
        !FROM facts ORDER BY doc_id, fact_type""".stripMargin('!')
 
+  /** N1-N10 canonicalization oracle over the reconstructable modes:
+    * every non-pdf doc canonicalizes to the same 10 (9 without the
+    * safety sentence) entities with arithmetic normalized forms — ISO
+    * date (the month list skips May, so positions map to calendar
+    * numbers), E.164 phone, 24h time, inches→meters at 3-decimal
+    * round (DOUBLE arithmetic: a DECIMAL literal would keep trailing
+    * zeros in the cast), and the two person mentions folding to one
+    * p001 with count 2.
+    */
+  val xCanonicalCore: String =
+    s"""WITH $docSynthCte,
+       !nonpdf AS (SELECT * FROM ent WHERE (id % 10 < 5 AND NOT (id % 89 = 34 OR id % 83 = 13)) OR id % 10 >= 8),
+       !canon AS (
+       !  SELECT did, id, unnest(
+       !    [{'cid': 'd001', 'ctype': 'DATE',
+       !       'norm': (2020 + id % 6) || '-' || (['01','02','03','04','06','07','08','09','10','11'])[(id % 10 + 1)::INT]
+       !         || '-' || lpad((id % 28 + 1)::VARCHAR, 2, '0'), 'cnt': 1},
+       !     {'cid': 'g001', 'ctype': 'GPE',
+       !       'norm': (['Chicago','Houston','Seattle','Boston','Denver','Atlanta'])[(id % 6 + 1)::INT], 'cnt': 1}] ||
+       !    CASE WHEN id % 3 = 0 THEN [{'cid': 'g002', 'ctype': 'GPE', 'norm': 'OSHA', 'cnt': 1}] ELSE [] END ||
+       !    [{'cid': 'm001', 'ctype': 'MONEY', 'norm': '$$' || format('{:,}', (id % 90 + 10) * 250), 'cnt': 1},
+       !     {'cid': 'ms001', 'ctype': 'MEASUREMENT',
+       !       'norm': round((id % 20 + 20) * 0.0254::DOUBLE, 3)::VARCHAR || '-' || round((id % 20 + 27) * 0.0254::DOUBLE, 3)::VARCHAR || ' m', 'cnt': 1},
+       !     {'cid': 'ms002', 'ctype': 'MEASUREMENT', 'norm': (id % 90 + 1) || ' days', 'cnt': 1},
+       !     {'cid': 'p001', 'ctype': 'PERSON',
+       !       'norm': (['John','Sarah','Michael','Emily','David','Jane'])[(id % 6 + 1)::INT] || ' ' ||
+       !         (['Smith','Johnson','Garcia','Chen','Patel','Brown'])[((id // 6) % 6 + 1)::INT], 'cnt': 2},
+       !     {'cid': 'ph001', 'ctype': 'PHONE',
+       !       'norm': '+1555' || (100 + id % 900) || (1000 + id % 9000), 'cnt': 1},
+       !     {'cid': 'rg001', 'ctype': 'REGULATION', 'norm': '29 CFR 1926.' || (id % 400 + 100), 'cnt': 1},
+       !     {'cid': 't001', 'ctype': 'TIME',
+       !       'norm': (id % 11 + 13) || ':' || (CASE WHEN id % 2 = 0 THEN '30' ELSE '15' END), 'cnt': 1}]) AS c
+       !  FROM nonpdf)
+       !SELECT did AS doc_id, c['cid'] AS id, c['ctype'] AS type, c['norm'] AS normalized,
+       !  c['cnt']::INTEGER AS count
+       !FROM canon ORDER BY doc_id, id""".stripMargin('!')
+
   /** Office corpus span reconstruction (DocGen.synthesizeOffice →
     * OfficeExtractor): docx = one text span per paragraph; pptx =
     * `## Slide N` page breaks + shape texts in slide groups of 3;

@@ -110,6 +110,14 @@ object SparkEntry {
     // (one groupBy shuffle on (type, normalized); see CorpusCanonical)
     "x_global_entities" -> ((s, dir) =>
       graft.normalize.CorpusCanonical.globalEntities(extracted(s, dir))),
+    // normalization hash-gate over the reconstructable modes
+    "x_canonical_core" -> ((s, dir) =>
+      extracted(s, dir)
+        .filter(d => DocGen.kindOf(d.doc_id) != "pdf_blocks")
+        .select(col("doc_id"), explode(col("canonical_entities")).as("c"))
+        .select(col("doc_id"), col("c.id").as("id"), col("c.type").as("type"),
+          col("c.normalized").as("normalized"), col("c.count").as("count"))
+        .orderBy(col("doc_id"), col("id"))),
     "x_facts" -> ((s, dir) =>
       extracted(s, dir).select(col("doc_id"), explode(col("facts")).as("f"))
         .select(col("doc_id"), col("f.fact_type").as("fact_type"),
@@ -430,6 +438,7 @@ object SparkEntry {
     "x_domain_entities" -> OracleSql.xDomainEntities,
     "x_entities_core" -> OracleSql.xEntitiesCore,
     "x_facts_core" -> OracleSql.xFactsCore,
+    "x_canonical_core" -> OracleSql.xCanonicalCore,
     "x_text_spans" -> OracleSql.xTextSpans,
     "x_content_flags" -> OracleSql.xContentFlags,
     "x_pdf_spans" -> OracleSql.xPdfSpans,
