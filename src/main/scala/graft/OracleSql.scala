@@ -624,6 +624,92 @@ object OracleSql {
        !  c['cnt']::INTEGER AS count
        !FROM canon ORDER BY doc_id, id""".stripMargin('!')
 
+  /** N11/N12 oracle over the reconstructable modes: the global
+    * mention replacement is PERFORMED in SQL (11 chained replaces
+    * with the same \u2016canonical\u2016id\u2016 markers) and the resulting text
+    * length plus mention/canonical counts and reduction percentage
+    * must match the engine; URL-rejected docs contribute zero rows.
+    */
+  val xNormalizedCore: String =
+    """WITH SYNTH,
+       !hp AS (
+       !  SELECT *, expanded || ' ' || s1 || ' ' || s2 AS para0, s3 || ' ' || s4 || ' ' || s5 AS para1
+       !  FROM ent WHERE id % 10 < 5 AND NOT (id % 89 = 34 OR id % 83 = 13)),
+       !hmd AS (
+       !  SELECT did, id, array_to_string(
+       !    ['# Document ' || id || ' Report'] ||
+       !    [CASE WHEN id % 3 = 0 THEN regexp_replace(para0, '^(\w+) (\w+)', '**\1** *\2*') ELSE para0 END] ||
+       !    CASE WHEN id % 2 = 0 THEN ['## Section 1 Findings'] ELSE [] END ||
+       !    [para1] ||
+       !    CASE WHEN id % 3 = 0 THEN
+       !      CASE WHEN id % 4 = 0 THEN ['figure 2 for doc ' || id] ELSE [] END || [s6]
+       !    ELSE [] END ||
+       !    CASE WHEN id % 7 = 0 THEN ['- inspection checklist', '- equipment log', '- training record'] ELSE [] END ||
+       !    CASE WHEN id % 6 = 0 THEN ['> Compliance is verified during each quarterly review.'] ELSE [] END ||
+       !    CASE WHEN id % 5 = 0 THEN ['| Item | Qty |' || chr(10) || '| --- | --- |' || chr(10) ||
+       !       '| unit-' || id || ' | ' || (id % 100) || ' |' || chr(10) || '| spare | ' || (id % 7) || ' |'] ELSE [] END ||
+       !    CASE WHEN id % 8 = 0 THEN ['status = check(sensor)' || chr(10) || 'if status: alert()'] ELSE [] END,
+       !    chr(10)) AS md
+       !  FROM hp),
+       !mdq AS (
+       !  SELECT did, id, md FROM hmd
+       !  UNION ALL SELECT did, id, body AS md FROM bodyq WHERE is_text),
+       !cleanq AS MATERIALIZED (
+       !  SELECT did, id,
+       !    regexp_replace(regexp_replace(regexp_replace(replace(replace(md, '**', ''), '`', ''),
+       !      '\*([^*\n]+)\*', '\1', 'g'),
+       !      '(^|\n)#+ +', '\1', 'g'),
+       !      '(^|\n)> +', '\1', 'g') AS clean
+       !  FROM mdq),
+       !vals AS (
+       !  SELECT c.did, c.id, c.clean,
+       !    (['John','Sarah','Michael','Emily','David','Jane'])[(c.id % 6 + 1)::INT] AS fn,
+       !    (['Smith','Johnson','Garcia','Chen','Patel','Brown'])[((c.id // 6) % 6 + 1)::INT] AS ln,
+       !    (['January','February','March','April','June','July','August','September','October','November'])[(c.id % 10 + 1)::INT]
+       !      || ' ' || (c.id % 28 + 1) || ', ' || (2020 + c.id % 6) AS v_date,
+       !    (2020 + c.id % 6) || '-' || (['01','02','03','04','06','07','08','09','10','11'])[(c.id % 10 + 1)::INT]
+       !      || '-' || lpad((c.id % 28 + 1)::VARCHAR, 2, '0') AS n_date,
+       !    (c.id % 11 + 1) || ':' || (CASE WHEN c.id % 2 = 0 THEN '30' ELSE '15' END) || ' PM' AS v_time,
+       !    (c.id % 11 + 13) || ':' || (CASE WHEN c.id % 2 = 0 THEN '30' ELSE '15' END) AS n_time,
+       !    (['Chicago','Houston','Seattle','Boston','Denver','Atlanta'])[(c.id % 6 + 1)::INT] AS city,
+       !    '$' || format('{:,}', (c.id % 90 + 10) * 250) AS v_money,
+       !    '(555) ' || (100 + c.id % 900) || '-' || (1000 + c.id % 9000) AS v_phone,
+       !    '+1555' || (100 + c.id % 900) || (1000 + c.id % 9000) AS n_phone,
+       !    '29 CFR 1926.' || (c.id % 400 + 100) AS v_reg,
+       !    (c.id % 20 + 20) || '-' || (c.id % 20 + 27) || ' inches' AS v_meas1,
+       !    round((c.id % 20 + 20) * 0.0254::DOUBLE, 3)::VARCHAR || '-' || round((c.id % 20 + 27) * 0.0254::DOUBLE, 3)::VARCHAR || ' m' AS n_meas1,
+       !    (c.id % 90 + 1) || ' days' AS v_meas2
+       !  FROM cleanq c),
+       !rep AS (
+       !  SELECT did, id,
+       !    CASE WHEN id % 3 = 0 THEN 11 ELSE 10 END AS mentions,
+       !    CASE WHEN id % 3 = 0 THEN 10 ELSE 9 END AS canonical,
+       !    length(
+       !      replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(
+       !        clean,
+       !        fn || ' ' || ln, chr(8214) || fn || ' ' || ln || chr(8214) || 'p001' || chr(8214)),
+       !        'Mr. ' || ln, chr(8214) || fn || ' ' || ln || chr(8214) || 'p001' || chr(8214)),
+       !        v_phone, chr(8214) || n_phone || chr(8214) || 'ph001' || chr(8214)),
+       !        v_date, chr(8214) || n_date || chr(8214) || 'd001' || chr(8214)),
+       !        v_time, chr(8214) || n_time || chr(8214) || 't001' || chr(8214)),
+       !        city, chr(8214) || city || chr(8214) || 'g001' || chr(8214)),
+       !        'OSHA', chr(8214) || 'OSHA' || chr(8214) || 'g002' || chr(8214)),
+       !        v_money, chr(8214) || v_money || chr(8214) || 'm001' || chr(8214)),
+       !        v_reg, chr(8214) || v_reg || chr(8214) || 'rg001' || chr(8214)),
+       !        v_meas1, chr(8214) || n_meas1 || chr(8214) || 'ms001' || chr(8214)),
+       !        v_meas2, chr(8214) || v_meas2 || chr(8214) || 'ms002' || chr(8214))
+       !    ) AS norm_len
+       !  FROM vals)
+       !SELECT did AS doc_id, mentions::BIGINT AS mentions, canonical::BIGINT AS canonical,
+       !  round((1.0 - canonical::DOUBLE / mentions) * 100, 2) AS reduction_pct,
+       !  norm_len::BIGINT AS norm_len
+       !FROM rep
+       !UNION ALL
+       !SELECT did AS doc_id, 0::BIGINT AS mentions, 0::BIGINT AS canonical,
+       !  0.0 AS reduction_pct, 0::BIGINT AS norm_len
+       !FROM bodyq WHERE is_url_reject
+       !ORDER BY doc_id""".stripMargin('!').replace("WITH SYNTH", s"WITH $docSynthCte")
+
   /** Office corpus span reconstruction (DocGen.synthesizeOffice →
     * OfficeExtractor): docx = one text span per paragraph; pptx =
     * `## Slide N` page breaks + shape texts in slide groups of 3;

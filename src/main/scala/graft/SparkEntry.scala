@@ -167,6 +167,20 @@ object SparkEntry {
         .toDF("doc_id", "mentions", "canonical", "reduction_pct", "norm_len")
         .orderBy(col("doc_id"))
     }),
+    "x_normalized_core" -> ((s, dir) => {
+      import s.implicits._
+      extracted(s, dir)
+        .filter(d => DocGen.kindOf(d.doc_id) != "pdf_blocks")
+        .map { d =>
+          val clean = graft.extract.Core8Extractor.truncate(
+            graft.extract.Core8Extractor.cleanFormatting(d.spans.map(_.text).mkString("\n")))
+          val r = graft.normalize.Normalizer.run(clean, d.entities)
+          (d.doc_id, r.mentionCount.toLong, r.canonicalCount.toLong, r.reductionPct,
+            r.normalizedText.length.toLong)
+        }
+        .toDF("doc_id", "mentions", "canonical", "reduction_pct", "norm_len")
+        .orderBy(col("doc_id"))
+    }),
     "x_markdown" -> ((s, dir) => {
       import s.implicits._
       extracted(s, dir)
@@ -439,6 +453,7 @@ object SparkEntry {
     "x_entities_core" -> OracleSql.xEntitiesCore,
     "x_facts_core" -> OracleSql.xFactsCore,
     "x_canonical_core" -> OracleSql.xCanonicalCore,
+    "x_normalized_core" -> OracleSql.xNormalizedCore,
     "x_text_spans" -> OracleSql.xTextSpans,
     "x_content_flags" -> OracleSql.xContentFlags,
     "x_pdf_spans" -> OracleSql.xPdfSpans,
