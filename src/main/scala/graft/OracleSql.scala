@@ -624,6 +624,23 @@ object OracleSql {
        !  c['cnt']::INTEGER AS count
        !FROM canon ORDER BY doc_id, id""".stripMargin('!')
 
+  /** A2 corpus-level canonical aggregation oracle over the
+    * reconstructable modes: groupBy (type, normalized) of the same
+    * arithmetic canonical rows, with the engine's content-hash
+    * global_id. Verifies the distributed aggregation end-to-end —
+    * group counts, mention sums, and id derivation.
+    */
+  val xGlobalCore: String = {
+    val inner = xCanonicalCore.stripSuffix("ORDER BY doc_id, id").trim
+    s"""WITH rows0 AS ($inner)
+       !SELECT substr(md5(type || '|' || normalized), 1, 12) AS global_id,
+       !  type, normalized,
+       !  count(DISTINCT doc_id) AS n_docs,
+       !  sum(count)::BIGINT AS n_mentions
+       !FROM rows0 GROUP BY type, normalized
+       !ORDER BY type, normalized""".stripMargin('!')
+  }
+
   /** N11/N12 oracle over the reconstructable modes: the global
     * mention replacement is PERFORMED in SQL (11 chained replaces
     * with the same \u2016canonical\u2016id\u2016 markers) and the resulting text

@@ -110,6 +110,11 @@ object SparkEntry {
     // (one groupBy shuffle on (type, normalized); see CorpusCanonical)
     "x_global_entities" -> ((s, dir) =>
       graft.normalize.CorpusCanonical.globalEntities(extracted(s, dir))),
+    // the same corpus-level aggregation hash-gated over the
+    // reconstructable modes (see x_canonical_core)
+    "x_global_core" -> ((s, dir) =>
+      graft.normalize.CorpusCanonical.globalEntities(
+        extracted(s, dir).filter(d => DocGen.kindOf(d.doc_id) != "pdf_blocks"))),
     // normalization hash-gate over the reconstructable modes
     "x_canonical_core" -> ((s, dir) =>
       extracted(s, dir)
@@ -454,6 +459,7 @@ object SparkEntry {
     "x_facts_core" -> OracleSql.xFactsCore,
     "x_canonical_core" -> OracleSql.xCanonicalCore,
     "x_normalized_core" -> OracleSql.xNormalizedCore,
+    "x_global_core" -> OracleSql.xGlobalCore,
     "x_text_spans" -> OracleSql.xTextSpans,
     "x_content_flags" -> OracleSql.xContentFlags,
     "x_pdf_spans" -> OracleSql.xPdfSpans,
