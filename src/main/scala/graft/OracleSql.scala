@@ -624,6 +624,21 @@ object OracleSql {
        !  c['cnt']::INTEGER AS count
        !FROM canon ORDER BY doc_id, id""".stripMargin('!')
 
+  /** X4 fact-summary oracle over the reconstructable modes: every
+    * non-pdf doc summarizes its four template facts identically.
+    */
+  val xFactSummaryCore: String =
+    s"""WITH $docSynthCte
+       !SELECT did AS doc_id, 4::BIGINT AS total_facts, 2::BIGINT AS actionable_facts,
+       ! 'financial_impact:1,regulation_citation:1,requirement:1,time_requirement:1' AS fact_types
+       !FROM bodyq
+       !WHERE (id % 10 < 5 AND NOT (id % 89 = 34 OR id % 83 = 13)) OR id % 10 >= 8
+       !UNION ALL
+       !SELECT did AS doc_id, 0::BIGINT AS total_facts, 0::BIGINT AS actionable_facts,
+       ! '' AS fact_types
+       !FROM bodyq WHERE is_url_reject
+       !ORDER BY doc_id""".stripMargin('!')
+
   /** A2 corpus-level canonical aggregation oracle over the
     * reconstructable modes: groupBy (type, normalized) of the same
     * arithmetic canonical rows, with the engine's content-hash
@@ -726,6 +741,243 @@ object OracleSql {
        !  0.0 AS reduction_pct, 0::BIGINT AS norm_len
        !FROM bodyq WHERE is_url_reject
        !ORDER BY doc_id""".stripMargin('!').replace("WITH SYNTH", s"WITH $docSynthCte")
+
+  /** O2 knowledge-JSON oracle over the reconstructable modes: the
+    * ENTIRE serialized artifact is reassembled in SQL (stable field
+    * order, canonical array in type-then-mention order, fact spans
+    * via strpos anchors) and compared by length + md5 — byte
+    * equality with the engine's serializer, driver-checked.
+    */
+  val xKnowledgeCore: String =
+    """WITH SYNTH,
+       !hp AS (
+       !  SELECT *, expanded || ' ' || s1 || ' ' || s2 AS para0, s3 || ' ' || s4 || ' ' || s5 AS para1
+       !  FROM ent WHERE id % 10 < 5 AND NOT (id % 89 = 34 OR id % 83 = 13)),
+       !hmd AS (
+       !  SELECT did, id, array_to_string(
+       !    ['# Document ' || id || ' Report'] ||
+       !    [CASE WHEN id % 3 = 0 THEN regexp_replace(para0, '^(\w+) (\w+)', '**\1** *\2*') ELSE para0 END] ||
+       !    CASE WHEN id % 2 = 0 THEN ['## Section 1 Findings'] ELSE [] END ||
+       !    [para1] ||
+       !    CASE WHEN id % 3 = 0 THEN
+       !      CASE WHEN id % 4 = 0 THEN ['figure 2 for doc ' || id] ELSE [] END || [s6]
+       !    ELSE [] END ||
+       !    CASE WHEN id % 7 = 0 THEN ['- inspection checklist', '- equipment log', '- training record'] ELSE [] END ||
+       !    CASE WHEN id % 6 = 0 THEN ['> Compliance is verified during each quarterly review.'] ELSE [] END ||
+       !    CASE WHEN id % 5 = 0 THEN ['| Item | Qty |' || chr(10) || '| --- | --- |' || chr(10) ||
+       !       '| unit-' || id || ' | ' || (id % 100) || ' |' || chr(10) || '| spare | ' || (id % 7) || ' |'] ELSE [] END ||
+       !    CASE WHEN id % 8 = 0 THEN ['status = check(sensor)' || chr(10) || 'if status: alert()'] ELSE [] END,
+       !    chr(10)) AS md
+       !  FROM hp),
+       !mdq AS (
+       !  SELECT did, id, md FROM hmd
+       !  UNION ALL SELECT did, id, body AS md FROM bodyq WHERE is_text),
+       !cleanq AS MATERIALIZED (
+       !  SELECT m.did, m.id, e.s4,
+       !    regexp_replace(regexp_replace(regexp_replace(replace(replace(m.md, '**', ''), '`', ''),
+       !      '\*([^*\n]+)\*', '\1', 'g'),
+       !      '(^|\n)#+ +', '\1', 'g'),
+       !      '(^|\n)> +', '\1', 'g') AS clean
+       !  FROM mdq m JOIN ent e ON e.did = m.did),
+       !vals AS (
+       !  SELECT did, id, clean, s4,
+       !    (['John','Sarah','Michael','Emily','David','Jane'])[(id % 6 + 1)::INT] || ' ' ||
+       !      (['Smith','Johnson','Garcia','Chen','Patel','Brown'])[((id // 6) % 6 + 1)::INT] AS v_person,
+       !    '$' || format('{:,}', (id % 90 + 10) * 250) AS v_money,
+       !    '29 CFR 1926.' || (id % 400 + 100) AS v_reg,
+       !    (id % 20 + 20) || '-' || (id % 20 + 27) || ' inches' AS v_meas1,
+       !    round((id % 20 + 20) * 0.0254::DOUBLE, 3)::VARCHAR || '-' || round((id % 20 + 27) * 0.0254::DOUBLE, 3)::VARCHAR || ' m' AS n_meas1,
+       !    (id % 90 + 1) || ' days' AS v_meas2,
+       !    (2020 + id % 6) || '-' || (['01','02','03','04','06','07','08','09','10','11'])[(id % 10 + 1)::INT]
+       !      || '-' || lpad((id % 28 + 1)::VARCHAR, 2, '0') AS n_date,
+       !    (['Chicago','Houston','Seattle','Boston','Denver','Atlanta'])[(id % 6 + 1)::INT] AS city,
+       !    '+1555' || (100 + id % 900) || (1000 + id % 9000) AS n_phone,
+       !    (id % 11 + 13) || ':' || (CASE WHEN id % 2 = 0 THEN '30' ELSE '15' END) AS n_time,
+       !    strpos(clean, 'penalty of $') - 1 AS f_a,
+       !    strpos(clean, 'under 29 CFR') - 1 AS f_b,
+       !    strpos(clean, 'Guardrails must measure') - 1 AS f_c,
+       !    strpos(clean, 'within ') - 1 AS f_d
+       !  FROM cleanq),
+       !kj AS (
+       !  SELECT did,
+       !    '{"source_info":{"doc_id":"' || did || '","engine":"graft-spark-1.0","success":true},'
+       !    || '"semantic_summary":{"total_facts":4,"actionable_facts":2,"fact_types":{'
+       !    || '"financial_impact":1,"regulation_citation":1,"requirement":1,"time_requirement":1}},'
+       !    || '"canonical_entities":['
+       !    || '{"id":"d001","type":"DATE","normalized":"' || n_date || '","count":1},'
+       !    || '{"id":"g001","type":"GPE","normalized":"' || city || '","count":1},'
+       !    || CASE WHEN id % 3 = 0 THEN '{"id":"g002","type":"GPE","normalized":"OSHA","count":1},' ELSE '' END
+       !    || '{"id":"ms001","type":"MEASUREMENT","normalized":"' || n_meas1 || '","count":1},'
+       !    || '{"id":"ms002","type":"MEASUREMENT","normalized":"' || v_meas2 || '","count":1},'
+       !    || '{"id":"m001","type":"MONEY","normalized":"' || v_money || '","count":1},'
+       !    || '{"id":"p001","type":"PERSON","normalized":"' || v_person || '","count":2},'
+       !    || '{"id":"ph001","type":"PHONE","normalized":"' || n_phone || '","count":1},'
+       !    || '{"id":"rg001","type":"REGULATION","normalized":"' || v_reg || '","count":1},'
+       !    || '{"id":"t001","type":"TIME","normalized":"' || n_time || '","count":1}],'
+       !    || '"facts":['
+       !    || '{"fact_type":"financial_impact","subject":"penalty","predicate":"HAS_AMOUNT","object":"'
+       !    || v_money || '","confidence":0.8,"span":{"start":' || f_a || ',"end":'
+       !    || (f_a + 11 + length(v_money)) || '},"actionable":false},'
+       !    || '{"fact_type":"regulation_citation","subject":"Regulation","predicate":"CITES","object":"'
+       !    || v_reg || '.","confidence":0.9,"span":{"start":' || f_b || ',"end":'
+       !    || (f_b + 6 + length(v_reg) + 1) || '},"actionable":false},'
+       !    || '{"fact_type":"requirement","subject":"Guardrails must measure ' || v_meas1
+       !    || ' and reports","predicate":"REQUIRED_TO","object":"filed within ' || v_meas2
+       !    || '","confidence":0.9,"span":{"start":' || f_c || ',"end":' || (f_c + length(s4))
+       !    || '},"actionable":true},'
+       !    || '{"fact_type":"time_requirement","subject":"Time Requirement","predicate":"HAS_VALUE","object":"'
+       !    || v_meas2 || '","confidence":0.9,"span":{"start":' || f_d || ',"end":'
+       !    || (f_d + 7 + length(v_meas2)) || '},"actionable":true}]}' AS kjson
+       !  FROM vals)
+       !SELECT did AS doc_id, length(kjson)::INTEGER AS json_len, md5(kjson) AS json_md5 FROM kj
+       !UNION ALL
+       !SELECT did AS doc_id,
+       !  length('{"source_info":{"doc_id":"' || did || '","engine":"graft-spark-1.0","success":false},'
+       !    || '"semantic_summary":{"total_facts":0,"actionable_facts":0,"fact_types":{}},'
+       !    || '"canonical_entities":[],"facts":[]}')::INTEGER AS json_len,
+       !  md5('{"source_info":{"doc_id":"' || did || '","engine":"graft-spark-1.0","success":false},'
+       !    || '"semantic_summary":{"total_facts":0,"actionable_facts":0,"fact_types":{}},'
+       !    || '"canonical_entities":[],"facts":[]}') AS json_md5
+       !FROM bodyq WHERE is_url_reject
+       !ORDER BY doc_id""".stripMargin('!').replace("WITH SYNTH", s"WITH $docSynthCte")
+
+  /** O1 markdown-artifact oracle over the reconstructable modes: the
+    * FULL .md artifact — YAML frontmatter (conversion + URL block,
+    * classification with the raw-score-ordered domains flow map and
+    * fmtD number rendering, content flags, entity insights) plus the
+    * assembled markdown body — is rebuilt byte-for-byte in SQL and
+    * compared by length + md5. The classification numbers come from the
+    * same generated scoring SQL as xClassify; DuckDB rtrim needs the
+    * explicit whitespace set (default trims spaces only).
+    */
+  val xMarkdownCore: String = {
+    import graft.matching.Corpora.{domainKeywords, doctypeKeywords}
+    val dScores = scoreColumns(domainKeywords, "dom", "toks", "lmd")
+    val tScores = scoreColumns(doctypeKeywords, "dt", "toks", "lmd")
+    val dN = famNames(domainKeywords)
+    val tN = famNames(doctypeKeywords)
+    val dTotal = dN.map(d => s"dom_$d").mkString(" + ")
+    val tTotal = tN.map(d => s"dt_$d").mkString(" + ")
+    val tMx = "greatest(" + tN.map(d => s"dt_$d").mkString(", ") + ")"
+    val tArg = "CASE " + tN.map(d => s"WHEN dt_$d = mx2 THEN '$d'").mkString(" ") + " END"
+    val dStructs = dN.map(d =>
+      s"{'ns': -dom_$d, 'd': '$d', 'v': round(dom_$d / dom_total * 100, 2)}").mkString(", ")
+    val sorted = s"list_sort(list_filter([$dStructs], x -> x['v'] > 0))"
+    def fmtd(v: String) =
+      s"CASE WHEN $v = floor($v) THEN floor($v)::BIGINT || '.0' ELSE $v::VARCHAR END"
+    raw"""WITH $docSynthCte,
+       !$mdCte,
+       !scored AS MATERIALIZED (
+       ! SELECT did, id,
+       !  $dScores,
+       !  $tScores
+       ! FROM tokd),
+       !agg AS (
+       ! SELECT *, $dTotal AS dom_total, $tTotal AS dt_total, $tMx AS mx2 FROM scored),
+       !cls AS MATERIALIZED (
+       ! SELECT did, id,
+       !  CASE WHEN dom_total <= 0 THEN '{general: 100.0}'
+       !   ELSE '{' || array_to_string(list_transform($sorted,
+       !     x -> x['d'] || ': ' || ${fmtd("x['v']")}), ', ') || '}' END AS dflow,
+       !  CASE WHEN dom_total <= 0 THEN 'general' ELSE $sorted[1]['d'] END AS pd,
+       !  CASE WHEN dom_total <= 0 THEN '100.0' ELSE ${fmtd(s"$sorted[1]['v']")} END AS pdc,
+       !  CASE WHEN dt_total <= 0 THEN 'document' ELSE $tArg END AS pt
+       ! FROM agg),
+       !hbody AS (
+       ! SELECT h.did, h.id,
+       !  rtrim(
+       !   '# Document ' || h.id || ' Report' || e'\n\n' ||
+       !   (CASE WHEN h.id % 3 = 0 THEN regexp_replace(h.para0, '^(\w+) (\w+)', '**\1** *\2*') ELSE h.para0 END) || e'\n\n' ||
+       !   CASE WHEN h.id % 2 = 0 THEN '## Section 1 Findings' || e'\n\n' ELSE '' END ||
+       !   h.para1 || e'\n\n' ||
+       !   CASE WHEN h.id % 3 = 0 THEN
+       !     CASE WHEN h.id % 4 = 0 THEN '![figure 2 for doc ' || h.id || '](https://cdn.example.com/img/' || h.id || '-2.png)' || e'\n\n' ELSE '' END ||
+       !     h.s6 || e'\n\n'
+       !   ELSE '' END ||
+       !   CASE WHEN h.id % 7 = 0 THEN '- inspection checklist' || e'\n' || '- equipment log' || e'\n' || '- training record' || e'\n' ELSE '' END ||
+       !   CASE WHEN h.id % 6 = 0 THEN '> Compliance is verified during each quarterly review.' || e'\n\n' ELSE '' END ||
+       !   CASE WHEN h.id % 5 = 0 THEN '| Item | Qty |' || e'\n' || '| --- | --- |' || e'\n' ||
+       !     '| unit-' || h.id || ' | ' || (h.id % 100) || ' |' || e'\n' || '| spare | ' || (h.id % 7) || ' |' || e'\n\n' ELSE '' END ||
+       !   CASE WHEN h.id % 8 = 0 THEN '```' || e'\n' || 'status = check(sensor)' || e'\n' || 'if status: alert()' || e'\n' || '```' || e'\n\n' ELSE '' END
+       !  , e' \t\n\r') || e'\n' AS body, 1 AS pc
+       ! FROM hp h),
+       !tbody AS (
+       ! SELECT did, id, body || e'\n' AS body,
+       !  greatest(1, (length(body) + 2999) // 3000) AS pc
+       ! FROM bodyq WHERE is_text),
+       !okdocs AS (
+       ! SELECT b.did, b.id, b.body, b.pc, (b.id % 10 < 5) AS is_html_doc,
+       !  c.dflow, c.pd, c.pdc, c.pt
+       ! FROM (SELECT * FROM hbody UNION ALL SELECT * FROM tbody) b
+       ! JOIN cls c ON c.did = b.did),
+       !art AS (
+       ! SELECT did,
+       !  '---' || e'\n' || 'conversion:' || e'\n' ||
+       !  '  engine: graft-spark-1.0' || e'\n' ||
+       !  '  doc_id: ' || did || e'\n' ||
+       !  '  page_count: ' || pc || e'\n' ||
+       !  '  success: true' || e'\n' ||
+       !  CASE WHEN is_html_doc THEN
+       !    '  source_type: url' || e'\n' ||
+       !    '  source_path: https://docs.example.com/' || did || '.html' || e'\n' ||
+       !    '  content_type: text/html; charset=utf-8' || e'\n' ||
+       !    '  http_status: 200' || e'\n' ||
+       !    '  validation_success: true' || e'\n' ||
+       !    '  proceed_to_classification: true' || e'\n'
+       !  ELSE '' END ||
+       !  'classification:' || e'\n' ||
+       !  '  primary_domain: ' || pd || e'\n' ||
+       !  '  primary_domain_confidence: ' || pdc || e'\n' ||
+       !  '  primary_document_type: ' || pt || e'\n' ||
+       !  '  domains: ' || dflow || e'\n' ||
+       !  'content_detection: {has_tables: ' || (is_html_doc AND id % 5 = 0) ||
+       !  ', has_images: ' || (is_html_doc AND id % 12 = 0) ||
+       !  ', has_formulas: false, has_code: ' || (is_html_doc AND id % 8 = 0) ||
+       !  ', has_links: false, has_lists: ' || (is_html_doc AND id % 7 = 0) ||
+       !  ', has_headers: ' || is_html_doc ||
+       !  ', has_footnotes: false, has_citations: false, has_structured_data: ' || (is_html_doc AND id % 5 = 0) || '}' || e'\n' ||
+       !  'entity_insights:' || e'\n' ||
+       !  '  total_entities: ' || (CASE WHEN id % 3 = 0 THEN 11 ELSE 10 END) || e'\n' ||
+       !  '  has_financial_data: true' || e'\n' ||
+       !  '  has_contact_info: true' || e'\n' ||
+       !  '  has_temporal_references: true' || e'\n' ||
+       !  '  has_external_references: true' || e'\n' ||
+       !  '---' || e'\n' || body AS md
+       ! FROM okdocs),
+       !rart AS (
+       ! SELECT did,
+       !  '---' || e'\n' || 'conversion:' || e'\n' ||
+       !  '  engine: graft-spark-1.0' || e'\n' ||
+       !  '  doc_id: ' || did || e'\n' ||
+       !  '  page_count: 0' || e'\n' ||
+       !  '  success: false' || e'\n' ||
+       !  '  error: ' || (CASE WHEN id % 89 = 34 THEN 'HTTP 404 - not processable'
+       !    ELSE 'Unsupported content type: application/octet-stream' END) || e'\n' ||
+       !  '  source_type: url' || e'\n' ||
+       !  '  source_path: https://docs.example.com/' || did || '.html' || e'\n' ||
+       !  '  content_type: ' || (CASE WHEN id % 83 = 13 THEN 'application/octet-stream' ELSE 'text/html; charset=utf-8' END) || e'\n' ||
+       !  '  http_status: ' || (CASE WHEN id % 89 = 34 THEN 404 ELSE 200 END) || e'\n' ||
+       !  '  validation_success: false' || e'\n' ||
+       !  '  proceed_to_classification: false' || e'\n' ||
+       !  'classification:' || e'\n' ||
+       !  '  primary_domain: general' || e'\n' ||
+       !  '  primary_domain_confidence: 100.0' || e'\n' ||
+       !  '  primary_document_type: document' || e'\n' ||
+       !  '  domains: {general: 100.0}' || e'\n' ||
+       !  'content_detection: {has_tables: false, has_images: false, has_formulas: false, has_code: false, has_links: false, has_lists: false, has_headers: false, has_footnotes: false, has_citations: false, has_structured_data: false}' || e'\n' ||
+       !  'entity_insights:' || e'\n' ||
+       !  '  total_entities: 0' || e'\n' ||
+       !  '  has_financial_data: false' || e'\n' ||
+       !  '  has_contact_info: false' || e'\n' ||
+       !  '  has_temporal_references: false' || e'\n' ||
+       !  '  has_external_references: false' || e'\n' ||
+       !  '---' || e'\n\n' AS md
+       ! FROM bodyq WHERE is_url_reject)
+       !SELECT did AS doc_id, length(md)::INTEGER AS md_len, md5(md) AS md_md5 FROM art
+       !UNION ALL
+       !SELECT did AS doc_id, length(md)::INTEGER AS md_len, md5(md) AS md_md5 FROM rart
+       !ORDER BY doc_id""".stripMargin('!')
+  }
 
   /** Office corpus span reconstruction (DocGen.synthesizeOffice →
     * OfficeExtractor): docx = one text span per paragraph; pptx =

@@ -172,6 +172,18 @@ object SparkEntry {
         .toDF("doc_id", "mentions", "canonical", "reduction_pct", "norm_len")
         .orderBy(col("doc_id"))
     }),
+    "x_fact_summary_core" -> ((s, dir) => {
+      import s.implicits._
+      extracted(s, dir)
+        .filter(d => DocGen.kindOf(d.doc_id) != "pdf_blocks")
+        .map { d =>
+          val sm = graft.facts.SpoExtractor.summarize(d.facts)
+          (d.doc_id, sm.total_facts.toLong, sm.actionable_facts.toLong,
+            sm.fact_types.toSeq.sorted.map { case (k, v) => s"$k:$v" }.mkString(","))
+        }
+        .toDF("doc_id", "total_facts", "actionable_facts", "fact_types")
+        .orderBy(col("doc_id"))
+    }),
     "x_normalized_core" -> ((s, dir) => {
       import s.implicits._
       extracted(s, dir)
@@ -198,6 +210,28 @@ object SparkEntry {
     "x_knowledge_json" -> ((s, dir) => {
       import s.implicits._
       extracted(s, dir)
+        .map(d => (d.doc_id, graft.output.Assembly.knowledgeJson(d)))
+        .toDF("doc_id", "knowledge")
+        .select(col("doc_id"), length(col("knowledge")).as("json_len"),
+          md5(col("knowledge")).as("json_md5"))
+        .orderBy(col("doc_id"))
+    }),
+    // byte-exact O1 serialization gate over the reconstructable modes
+    "x_markdown_core" -> ((s, dir) => {
+      import s.implicits._
+      extracted(s, dir)
+        .filter(d => DocGen.kindOf(d.doc_id) != "pdf_blocks")
+        .map(d => (d.doc_id, graft.output.Assembly.assembleMarkdown(d)))
+        .toDF("doc_id", "markdown")
+        .select(col("doc_id"), length(col("markdown")).as("md_len"),
+          md5(col("markdown")).as("md_md5"))
+        .orderBy(col("doc_id"))
+    }),
+    // byte-exact O2 serialization gate over the reconstructable modes
+    "x_knowledge_core" -> ((s, dir) => {
+      import s.implicits._
+      extracted(s, dir)
+        .filter(d => DocGen.kindOf(d.doc_id) != "pdf_blocks")
         .map(d => (d.doc_id, graft.output.Assembly.knowledgeJson(d)))
         .toDF("doc_id", "knowledge")
         .select(col("doc_id"), length(col("knowledge")).as("json_len"),
@@ -460,6 +494,9 @@ object SparkEntry {
     "x_canonical_core" -> OracleSql.xCanonicalCore,
     "x_normalized_core" -> OracleSql.xNormalizedCore,
     "x_global_core" -> OracleSql.xGlobalCore,
+    "x_fact_summary_core" -> OracleSql.xFactSummaryCore,
+    "x_knowledge_core" -> OracleSql.xKnowledgeCore,
+    "x_markdown_core" -> OracleSql.xMarkdownCore,
     "x_text_spans" -> OracleSql.xTextSpans,
     "x_content_flags" -> OracleSql.xContentFlags,
     "x_pdf_spans" -> OracleSql.xPdfSpans,

@@ -76,13 +76,15 @@ object Assembly {
         case SpanKinds.Heading => sb ++= sp.text ++= "\n\n"
         case SpanKinds.ImageRef =>
           sb ++= s"![${sp.text}](${sp.media_ref})" ++= "\n\n"
-        case SpanKinds.PageBreak => sb ++= "---\n\n"
+        // page-break span text is the page header ("## Page N") or the
+        // separator ("---") — render it verbatim, never collapse headers
+        case SpanKinds.PageBreak => sb ++= sp.text ++= "\n\n"
         case SpanKinds.Rule => sb ++= "---\n\n"
         case SpanKinds.Code => sb ++= "```\n" ++= sp.text ++= "\n```\n\n"
-        case SpanKinds.Blockquote =>
-          sp.text.linesIterator.foreach(l => sb ++= "> " ++= l ++= "\n")
-          sb ++= "\n"
-        case SpanKinds.ListItem => sb ++= "- " ++= sp.text ++= "\n"
+        // blockquote / list-item span text already carries its markdown
+        // prefix ("> ", "- ") from the emitter — no re-prefixing
+        case SpanKinds.Blockquote => sb ++= sp.text ++= "\n\n"
+        case SpanKinds.ListItem => sb ++= sp.text ++= "\n"
         case _ => sb ++= sp.text ++= "\n\n"
       }
     }

@@ -11,7 +11,7 @@ class AssemblySpec extends AnyFunSuite {
       Span(SpanKinds.Heading, "# Title", "", 0),
       Span(SpanKinds.Text, "Hello world.", "", 1),
       Span(SpanKinds.ImageRef, "fig 1", "https://x/1.png", 2),
-      Span(SpanKinds.ListItem, "item one", "", 3),
+      Span(SpanKinds.ListItem, "- item one", "", 3),
       Span(SpanKinds.Code, "x = 1", "", 4)),
     meta = DocMeta(
       DocMeta.emptyFlags.copy(has_images = true, has_lists = true, has_code = true),
@@ -34,6 +34,7 @@ class AssemblySpec extends AnyFunSuite {
     assert(md.contains("has_images: true"))
     assert(md.contains("  has_financial_data: true\n"))
     assert(md.contains("# Title\n\nHello world.\n\n![fig 1](https://x/1.png)\n\n- item one\n```\nx = 1\n```"))
+    // span text carries its own markdown prefix — never re-prefixed
     // byte-determinism: same input, same bytes
     assert(md == Assembly.assembleMarkdown(doc))
   }
@@ -50,11 +51,14 @@ class AssemblySpec extends AnyFunSuite {
   }
 
   test("O1b: blockquote and page break render per markdown rules") {
+    // blockquote span text already carries "> " (emitter contract); the
+    // page-break span text is the header or separator — verbatim
     val d2 = doc.copy(spans = Seq(
-      Span(SpanKinds.Blockquote, "quoted line", "", 0),
-      Span(SpanKinds.PageBreak, "", "", 1),
-      Span(SpanKinds.Text, "after", "", 2)))
+      Span(SpanKinds.Blockquote, "> quoted line", "", 0),
+      Span(SpanKinds.PageBreak, "## Page 2", "", 1),
+      Span(SpanKinds.PageBreak, "---", "", 2),
+      Span(SpanKinds.Text, "after", "", 3)))
     val body = Assembly.markdownBody(d2.spans)
-    assert(body == "> quoted line\n\n---\n\nafter\n")
+    assert(body == "> quoted line\n\n## Page 2\n\n---\n\nafter\n")
   }
 }
