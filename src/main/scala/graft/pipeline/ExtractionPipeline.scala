@@ -27,6 +27,14 @@ import org.apache.spark.sql.functions._
   */
 object ExtractionPipeline {
 
+  /** Pipeline configuration (F11): the HTML conversion strategy name,
+    * resolved once per run — `dom` (default, high fidelity) or
+    * `fast_strip` (F10 regex path). Mirrors the reference's
+    * config-selected converter factory
+    * (`utils/configurable_markdown_converter.py`, `config.yaml:122-128`).
+    */
+  final case class PipelineConfig(htmlStrategy: String = graft.html.HtmlStrategies.Dom)
+
   /** Download size cap — the reference's streamed URL fetch aborts past
     * 10MB (`fusion_cli.py:335-432`).
     */
@@ -58,7 +66,9 @@ object ExtractionPipeline {
     * regexes are per-JVM singletons (AhoCorasick.cached / static
     * Patterns), so per-row cost is scan-only.
     */
-  def processDoc(raw: RawDoc): ExtractedDoc = {
+  def processDoc(raw: RawDoc): ExtractedDoc = processDoc(raw, PipelineConfig())
+
+  def processDoc(raw: RawDoc, config: PipelineConfig): ExtractedDoc = {
     try {
       // S5 URL gate runs BEFORE conversion — a 404 body or a
       // non-whitelisted payload must not reach the extractors
@@ -68,7 +78,7 @@ object ExtractionPipeline {
       }
       // stage 1-2: convert to spans
       val spansOrErr: Either[String, Seq[Span]] = raw.content_kind match {
-        case "html" => Right(HtmlExtractor.extract(raw.html))
+        case "html" => Right(graft.html.HtmlStrategies.convert(config.htmlStrategy, raw.html))
         case "pdf_blocks" => PdfExtractor.extract(raw.doc_id, raw.pdf_blocks, raw.page_count)
         case "text" =>
           Right(
@@ -139,7 +149,7 @@ object ExtractionPipeline {
     * re-shuffling full payloads here).
     */
   def run(spark: SparkSession, raw: Dataset[RawDoc], partitions: Int = 0,
-      salt: Boolean = true): Dataset[ExtractedDoc] = {
+      salt: Boolean = true, config: PipelineConfig = PipelineConfig()): Dataset[ExtractedDoc] = {
     import spark.implicits._
     val p = if (partitions > 0) partitions else spark.sparkContext.defaultParallelism * 2
     val balanced = if (salt) salted(raw, p) else raw
@@ -148,7 +158,7 @@ object ExtractionPipeline {
     // per version at partition start (no-op when already current)
     val installCorpus = graft.matching.CorpusTable.broadcastInstaller(
       spark, graft.matching.Corpora.bundle)
-    balanced.mapPartitions { it => installCorpus(); it.map(processDoc) }
+    balanced.mapPartitions { it => installCorpus(); it.map(processDoc(_, config)) }
   }
 
   /** Corpus-level metrics via `observe()` — the Spark counterpart of the
