@@ -12,7 +12,9 @@ object PlanAudit {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names = if (args.length > 1) args.drop(1).toSet else Set(
       "q2_join_topk", "q3_multi_join", "t1_token_count", "s1_cosine_topk",
-      "q10_semi_join", "m3_frame_sample")
+      "q10_semi_join", "m3_frame_sample",
+      // round-2 additions: corpus-level agg, capped shingle join, office run
+      "x_global_entities", "t6_ngram_jaccard", "x_office_spans")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
