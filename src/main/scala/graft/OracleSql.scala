@@ -118,6 +118,46 @@ object OracleSql {
        |ORDER BY c.a, c.b""".stripMargin
   }
 
+  /** t10 oracle: transitive closure over the LSH-verified pairs via a
+    * recursive CTE, min label per component (the pair set is tiny, so
+    * full reachability is cheap in DuckDB).
+    */
+  def dupGroups(threshold: Double): String = {
+    val inner = minhashLsh(threshold).stripSuffix("ORDER BY c.a, c.b").trim
+    s"""WITH RECURSIVE pairs AS (SELECT a, b FROM ($inner)),
+       |dedges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+       |verts AS (SELECT DISTINCT a AS v FROM dedges),
+       |reach(doc, other) AS (
+       | SELECT v, v FROM verts
+       | UNION
+       | SELECT r.doc, e.b FROM reach r JOIN dedges e ON e.a = r.other),
+       |comp AS (SELECT doc AS doc_id, min(other) AS group_id FROM reach GROUP BY doc),
+       |sizes AS (SELECT group_id, count(*) AS group_size FROM comp GROUP BY 1)
+       |SELECT c.doc_id, c.group_id, s.group_size
+       |FROM comp c JOIN sizes s USING (group_id)
+       |ORDER BY c.doc_id""".stripMargin
+  }
+
+  /** t11 oracle: the curation decision composed from the same lang /
+    * quality / exact-dup / dup-group SQL the individual ops use.
+    */
+  def corpusSelect(minQuality: Double, threshold: Double): String =
+    s"""WITH lang AS (SELECT doc_id, lang_pred FROM ($langId)),
+       |qual AS (SELECT doc_id, quality_score FROM ($qualityScore)),
+       |ex AS (SELECT doc_id, rn FROM ($dedupExact)),
+       |nd AS (SELECT doc_id, group_id FROM (${dupGroups(threshold)}))
+       |SELECT d.doc_id,
+       | (lang_pred = 'en') AS lang_ok,
+       | (quality_score >= $minQuality) AS quality_ok,
+       | (rn > 1) AS exact_dup,
+       | (nd.group_id IS NOT NULL AND nd.group_id <> d.doc_id) AS near_dup_loser,
+       | ((lang_pred = 'en') AND (quality_score >= $minQuality) AND NOT (rn > 1)
+       |  AND NOT (nd.group_id IS NOT NULL AND nd.group_id <> d.doc_id)) AS keep
+       |FROM documents d
+       |JOIN lang USING (doc_id) JOIN qual USING (doc_id) JOIN ex USING (doc_id)
+       |LEFT JOIN nd USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   val simhash: String = {
     import TextOps.SimhashBits
     val bitSums = (0 until SimhashBits).map { b =>

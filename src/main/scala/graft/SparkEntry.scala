@@ -342,6 +342,8 @@ object SparkEntry {
     "t6_ngram_jaccard" -> ((s, dir) => graft.textops.TextOps.ngramJaccard(s, dir, 0.2)),
     "t7_minhash_lsh" -> ((s, dir) => graft.textops.TextOps.minhashLsh(s, dir, 0.5)),
     "t8_simhash" -> ((s, dir) => graft.textops.TextOps.simhash(s, dir)),
+    "t10_dup_groups" -> ((s, dir) => graft.textops.TextOps.dupGroups(s, dir)),
+    "t11_corpus_select" -> ((s, dir) => graft.textops.TextOps.corpusSelect(s, dir)),
 
     // ---- multimodal media columns (binary payloads; DuckDB-verified)
     "m1_media_stats" -> ((s, dir) => graft.media.MediaOps.mediaStats(s, dir)),
@@ -509,6 +511,8 @@ object SparkEntry {
     "t6_ngram_jaccard" -> OracleSql.ngramJaccard(0.2),
     "t7_minhash_lsh" -> OracleSql.minhashLsh(0.5),
     "t8_simhash" -> OracleSql.simhash,
+    "t10_dup_groups" -> OracleSql.dupGroups(0.5),
+    "t11_corpus_select" -> OracleSql.corpusSelect(0.5, 0.5),
     "m1_media_stats" -> OracleSql.mediaStats,
     "m2_image_meta" -> OracleSql.imageMeta,
     "m3_frame_sample" -> OracleSql.frameSample,

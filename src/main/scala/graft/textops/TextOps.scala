@@ -246,6 +246,86 @@ object TextOps {
       .orderBy("a", "b")
   }
 
+  // --------------------------------------------------------- dup groups
+
+  /** Connected components over near-dup pairs — dedup needs GROUPS (one
+    * keeper per component), not pairwise edges. Iterative min-label
+    * propagation: each round every vertex takes the min label among
+    * itself and its neighbors (one equi-join + groupBy shuffle per
+    * round), until a round changes nothing. Rounds = component diameter
+    * — near-dup clusters are small and dense, so this is a handful of
+    * tiny shuffles over the PAIR set (bounded by LSH collisions), never
+    * over the corpus. The driver-side loop holds only a changed-count.
+    */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("a"), col("b"))
+      .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .cache()
+    var labels = edges.select(col("a").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .cache()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "b").withColumnRenamed("label", "nl"), "b")
+        .groupBy(col("a").as("doc_id"))
+        .agg(min(col("nl")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .cache()
+      changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    labels
+  }
+
+  /** t10: duplicate groups from the MinHash-LSH verified pairs: every
+    * doc in some near-dup pair, its component id (min doc id in the
+    * component) and the component size.
+    */
+  def dupGroups(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val pairs = minhashLsh(s, dir, threshold).select("a", "b")
+    val comp = connectedComponents(pairs)
+    val sizes = comp.groupBy(col("label")).agg(count(lit(1)).as("group_size"))
+    comp.join(sizes, "label")
+      .select(col("doc_id"), col("label").as("group_id"), col("group_size"))
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------ corpus select
+
+  /** t11: the composed curation decision a training-data pipeline ends
+    * with — language filter + quality floor + exact-dup removal +
+    * near-dup group keeper selection (keep only the min-id doc of each
+    * near-dup component), with per-doc reasons for auditability. Three
+    * doc_id equi-joins (co-partitioned after the first shuffle) plus a
+    * left join against the tiny dup-group frame.
+    */
+  def corpusSelect(s: SparkSession, dir: String, minQuality: Double = 0.5): DataFrame = {
+    val lang = langId(s, dir).select(col("doc_id"), col("lang_pred"))
+    val q = qualityScore(s, dir).select(col("doc_id"), col("quality_score"))
+    val ex = dedupExact(s, dir).select(col("doc_id"), col("rn"))
+    val nd = dupGroups(s, dir).select(col("doc_id"), col("group_id"))
+    docs(s, dir).select("doc_id")
+      .join(lang, "doc_id").join(q, "doc_id").join(ex, "doc_id")
+      .join(nd, Seq("doc_id"), "left")
+      .withColumn("lang_ok", col("lang_pred") === "en")
+      .withColumn("quality_ok", col("quality_score") >= minQuality)
+      .withColumn("exact_dup", col("rn") > 1)
+      .withColumn("near_dup_loser",
+        col("group_id").isNotNull && col("group_id") =!= col("doc_id"))
+      .withColumn("keep",
+        col("lang_ok") && col("quality_ok") && !col("exact_dup") && !col("near_dup_loser"))
+      .select("doc_id", "lang_ok", "quality_ok", "exact_dup", "near_dup_loser", "keep")
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------ simhash
 
   /** 62-bit SimHash from word-token MD5s: per token take two 31-bit
