@@ -207,7 +207,19 @@ object TextOps {
     * with true Jaccard, keep ≥ threshold. The scale path: candidate
     * generation is O(collisions), not O(n²).
     */
-  def minhashLsh(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+  /** Verified LSH pairs persisted per (session, dir, threshold): t7,
+    * t10 and t11 all consume them — one signature+verify computation.
+    */
+  private val lshPairCache = new graft.util.SessionCache[DataFrame]
+
+  def minhashLsh(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame =
+    lshPairCache.getOrElseUpdate(s, s"$dir#$threshold") {
+      val df = minhashLshUncached(s, dir, threshold)
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df
+    }
+
+  private def minhashLshUncached(s: SparkSession, dir: String, threshold: Double): DataFrame = {
     // one shingle computation feeds BOTH the signatures and the verify
     // stage (persisted by the shingles() memo); candidates are tiny
     val sh0 = shingles(s, dir)
@@ -249,54 +261,78 @@ object TextOps {
   // --------------------------------------------------------- dup groups
 
   /** Connected components over near-dup pairs — dedup needs GROUPS (one
-    * keeper per component), not pairwise edges. Iterative min-label
-    * propagation: each round every vertex takes the min label among
-    * itself and its neighbors (one equi-join + groupBy shuffle per
-    * round), until a round changes nothing. Rounds = component diameter
-    * — near-dup clusters are small and dense, so this is a handful of
-    * tiny shuffles over the PAIR set (bounded by LSH collisions), never
-    * over the corpus. The driver-side loop holds only a changed-count.
+    * keeper per component), not pairwise edges. Min-label propagation
+    * with POINTER DOUBLING: each round a vertex takes the min label
+    * among its neighbors' labels, then jumps to its label's label
+    * (path halving) — O(log n) rounds even on chain-shaped components,
+    * where plain propagation needs O(diameter) rounds (a 100-round
+    * crawl on a chained corpus). Every round is two equi-join shuffles
+    * over the PAIR set (bounded by LSH collisions), never the corpus;
+    * the frames are tiny, so they run at a small fixed parallelism
+    * instead of the session-wide shuffle width. The driver loop holds
+    * only a changed-count.
     */
   def connectedComponents(pairs: DataFrame): DataFrame = {
+    val p = 8
     val edges = pairs.select(col("a"), col("b"))
       .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
       .distinct()
+      .repartition(p, col("a"))
       .cache()
+    // localCheckpoint (not cache+unpersist): each round's labels must
+    // TRUNCATE lineage — unpersisting the previous round's frame would
+    // invalidate every dependent cached plan (Spark re-caches by plan)
+    // and silently recompute the whole upstream pipeline per round
     var labels = edges.select(col("a").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
-      .cache()
+      .repartition(p, col("doc_id"))
+      .localCheckpoint()
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 50) {
+    while (changed > 0 && rounds < 25) {
       val neighborMin = edges
         .join(labels.withColumnRenamed("doc_id", "b").withColumnRenamed("label", "nl"), "b")
         .groupBy(col("a").as("doc_id"))
         .agg(min(col("nl")).as("nmin"))
-      val next = labels.join(neighborMin, Seq("doc_id"), "left")
+      val stepped = labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .cache()
+      // pointer doubling: label := label(label) — labels always point at
+      // graph vertices, every vertex has a row, so the self-join is total
+      val next = stepped.as("x")
+        .join(stepped.select(col("doc_id").as("p_id"), col("label").as("p_label")),
+          col("x.label") === col("p_id"))
+        .select(col("x.doc_id").as("doc_id"), col("p_label").as("label"))
+        .repartition(p, col("doc_id"))
+        .localCheckpoint()
       changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
         .filter(col("label") =!= col("old")).count()
-      labels.unpersist()
       labels = next
       rounds += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(s"[cc] round $rounds changed=$changed ${System.nanoTime() / 1000000}ms")
     }
     labels
   }
 
   /** t10: duplicate groups from the MinHash-LSH verified pairs: every
     * doc in some near-dup pair, its component id (min doc id in the
-    * component) and the component size.
+    * component) and the component size. Memoized per (session, dir,
+    * threshold) — t11's curation reuses the same components.
     */
-  def dupGroups(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
-    val pairs = minhashLsh(s, dir, threshold).select("a", "b")
-    val comp = connectedComponents(pairs)
-    val sizes = comp.groupBy(col("label")).agg(count(lit(1)).as("group_size"))
-    comp.join(sizes, "label")
-      .select(col("doc_id"), col("label").as("group_id"), col("group_size"))
-      .orderBy("doc_id")
-  }
+  private val dupGroupCache = new graft.util.SessionCache[DataFrame]
+
+  def dupGroups(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame =
+    dupGroupCache.getOrElseUpdate(s, s"$dir#$threshold") {
+      val pairs = minhashLsh(s, dir, threshold).select("a", "b")
+      val comp = connectedComponents(pairs)
+      val sizes = comp.groupBy(col("label")).agg(count(lit(1)).as("group_size"))
+      val df = comp.join(sizes, "label")
+        .select(col("doc_id"), col("label").as("group_id"), col("group_size"))
+        .orderBy("doc_id")
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df
+    }
 
   // ------------------------------------------------------ corpus select
 
