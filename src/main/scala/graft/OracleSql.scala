@@ -158,6 +158,21 @@ object OracleSql {
        |LEFT JOIN nd USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  /** t12 oracle: compose the exact-Jaccard and LSH pair SQL. */
+  def lshRecall(threshold: Double): String = {
+    val truth = ngramJaccard(threshold).stripSuffix("ORDER BY a, b").trim
+    val lsh = minhashLsh(threshold).stripSuffix("ORDER BY c.a, c.b").trim
+    s"""WITH truth AS (SELECT a, b FROM ($truth)),
+       |lsh AS (SELECT a, b FROM ($lsh)),
+       |h AS (SELECT count(*) AS n FROM truth JOIN lsh USING (a, b)),
+       |t AS (SELECT count(*) AS n FROM truth),
+       |l AS (SELECT count(*) AS n FROM lsh)
+       |SELECT t.n::BIGINT AS n_truth, l.n::BIGINT AS n_candidates, h.n::BIGINT AS n_hits,
+       | CASE WHEN t.n = 0 THEN 1.0 ELSE round(h.n::DOUBLE / t.n, 4) END AS recall,
+       | CASE WHEN l.n = 0 THEN 1.0 ELSE round(h.n::DOUBLE / l.n, 4) END AS precision
+       |FROM t, l, h""".stripMargin
+  }
+
   val simhash: String = {
     import TextOps.SimhashBits
     val bitSums = (0 until SimhashBits).map { b =>

@@ -344,6 +344,7 @@ object SparkEntry {
     "t8_simhash" -> ((s, dir) => graft.textops.TextOps.simhash(s, dir)),
     "t10_dup_groups" -> ((s, dir) => graft.textops.TextOps.dupGroups(s, dir)),
     "t11_corpus_select" -> ((s, dir) => graft.textops.TextOps.corpusSelect(s, dir)),
+    "t12_lsh_recall" -> ((s, dir) => graft.textops.TextOps.lshRecall(s, dir)),
 
     // ---- multimodal media columns (binary payloads; DuckDB-verified)
     "m1_media_stats" -> ((s, dir) => graft.media.MediaOps.mediaStats(s, dir)),
@@ -513,6 +514,7 @@ object SparkEntry {
     "t8_simhash" -> OracleSql.simhash,
     "t10_dup_groups" -> OracleSql.dupGroups(0.5),
     "t11_corpus_select" -> OracleSql.corpusSelect(0.5, 0.5),
+    "t12_lsh_recall" -> OracleSql.lshRecall(0.5),
     "m1_media_stats" -> OracleSql.mediaStats,
     "m2_image_meta" -> OracleSql.imageMeta,
     "m3_frame_sample" -> OracleSql.frameSample,

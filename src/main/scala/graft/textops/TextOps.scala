@@ -334,6 +334,30 @@ object TextOps {
       df
     }
 
+  // --------------------------------------------------------- lsh recall
+
+  /** t12: measured LSH quality — recall/precision of the banded MinHash
+    * candidates against the exact shingle-Jaccard ground truth at the
+    * same threshold. Ground truth uses the DF-capped shingle space (the
+    * t6 baseline); LSH verification runs uncapped — near-threshold
+    * pairs can differ between the two spaces, which is part of what the
+    * metric reports. One row; the joins run over the two small pair
+    * frames, both already memoized.
+    */
+  def lshRecall(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val truth = ngramJaccard(s, dir, threshold).select("a", "b")
+    val lsh = minhashLsh(s, dir, threshold).select("a", "b")
+    val hits = truth.join(lsh, Seq("a", "b"))
+    val nTruth = truth.count()
+    val nLsh = lsh.count()
+    val nHits = hits.count()
+    import s.implicits._
+    Seq((nTruth, nLsh, nHits,
+      if (nTruth == 0) 1.0 else math.rint(nHits.toDouble / nTruth * 10000) / 10000,
+      if (nLsh == 0) 1.0 else math.rint(nHits.toDouble / nLsh * 10000) / 10000))
+      .toDF("n_truth", "n_candidates", "n_hits", "recall", "precision")
+  }
+
   // ------------------------------------------------------ corpus select
 
   /** t11: the composed curation decision a training-data pipeline ends
