@@ -1184,6 +1184,23 @@ object OracleSql {
        |SELECT a, b, cos FROM j WHERE cos >= $threshold ORDER BY a, b""".stripMargin
   }
 
+  /** s5 oracle: recursive components over the embedding dedup pairs. */
+  def embeddingGroups(threshold: Double): String = {
+    val inner = embeddingDedup(threshold).stripSuffix("ORDER BY a, b").trim
+    s"""WITH RECURSIVE pairs AS (SELECT a, b FROM ($inner)),
+       |dedges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+       |verts AS (SELECT DISTINCT a AS v FROM dedges),
+       |reach(doc, other) AS (
+       | SELECT v, v FROM verts
+       | UNION
+       | SELECT r.doc, e.b FROM reach r JOIN dedges e ON e.a = r.other),
+       |comp AS (SELECT doc AS vec_id, min(other) AS group_id FROM reach GROUP BY doc),
+       |sizes AS (SELECT group_id, count(*) AS group_size FROM comp GROUP BY 1)
+       |SELECT c.vec_id, c.group_id, s.group_size
+       |FROM comp c JOIN sizes s USING (group_id)
+       |ORDER BY c.vec_id""".stripMargin
+  }
+
   /** float[] vs double[] centroid cosine — mirrors Similarity.cosineMixed. */
   private def cosineMixedSql(a: String, c: String): String =
     s"""(list_reduce(list_transform(range(len($a)), i -> $a[i+1]::DOUBLE * $c[i+1]), (x, y) -> x + y)

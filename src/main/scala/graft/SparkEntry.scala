@@ -358,7 +358,8 @@ object SparkEntry {
     "s2_lsh_topk" -> ((s, dir) => graft.sim.Similarity.lshTopK(s, dir, 10, 5)),
     "s3_label_centroids" -> ((s, dir) => graft.sim.Similarity.labelCentroids(s, dir)),
     "s4_ivf_topk" -> ((s, dir) => graft.sim.Similarity.ivfTopK(s, dir, 10, 5)),
-    "t9_embedding_dedup" -> ((s, dir) => graft.sim.Similarity.embeddingDedup(s, dir, 0.40))
+    "t9_embedding_dedup" -> ((s, dir) => graft.sim.Similarity.embeddingDedup(s, dir, 0.40)),
+    "s5_embedding_groups" -> ((s, dir) => graft.sim.Similarity.embeddingGroups(s, dir, 0.40))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -524,6 +525,7 @@ object SparkEntry {
     "s2_lsh_topk" -> OracleSql.lshTopK(10, 5),
     "s3_label_centroids" -> OracleSql.labelCentroids,
     "s4_ivf_topk" -> OracleSql.ivfTopK(10, 5),
-    "t9_embedding_dedup" -> OracleSql.embeddingDedup(0.40)
+    "t9_embedding_dedup" -> OracleSql.embeddingDedup(0.40),
+    "s5_embedding_groups" -> OracleSql.embeddingGroups(0.40)
   )
 }

@@ -172,6 +172,19 @@ object Similarity {
       .orderBy(col("a"), col("b"))
   }
 
+  /** s5: embedding near-dup GROUPS — connected components over the
+    * cosine-verified pairs (same pointer-doubling loop as the text-side
+    * t10), one keeper id per cluster of same-content embeddings.
+    */
+  def embeddingGroups(s: SparkSession, dir: String, threshold: Double = 0.40): DataFrame = {
+    val pairs = embeddingDedup(s, dir, threshold).select(col("a"), col("b"))
+    val comp = graft.textops.TextOps.connectedComponents(pairs)
+    val sizes = comp.groupBy(col("label")).agg(count(lit(1)).as("group_size"))
+    comp.join(sizes, "label")
+      .select(col("doc_id").as("vec_id"), col("label").as("group_id"), col("group_size"))
+      .orderBy("vec_id")
+  }
+
   /** Mixed-type cosine (float[] vs double[] centroid) via the HOF chain —
     * tiny inputs (k centroids), mirrored exactly by the oracle.
     */
