@@ -153,7 +153,19 @@ object Similarity {
     * this is the "collapse same-content embeddings" pass of a training
     * pipeline.
     */
-  def embeddingDedup(s: SparkSession, dir: String, threshold: Double = 0.40): DataFrame = {
+  /** Verified pairs persisted per (session, dir, threshold): t9 and the
+    * s5 grouping share one bucket-join + cosine computation.
+    */
+  private val dedupPairCache = new graft.util.SessionCache[DataFrame]
+
+  def embeddingDedup(s: SparkSession, dir: String, threshold: Double = 0.40): DataFrame =
+    dedupPairCache.getOrElseUpdate(s, s"$dir#$threshold") {
+      val df = embeddingDedupUncached(s, dir, threshold)
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df
+    }
+
+  private def embeddingDedupUncached(s: SparkSession, dir: String, threshold: Double): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(s)
     val emb = embeddings(s, dir)
     val buckets = lshBuckets(s, dir)
