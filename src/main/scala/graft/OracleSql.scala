@@ -168,8 +168,8 @@ object OracleSql {
        |t AS (SELECT count(*) AS n FROM truth),
        |l AS (SELECT count(*) AS n FROM lsh)
        |SELECT t.n::BIGINT AS n_truth, l.n::BIGINT AS n_candidates, h.n::BIGINT AS n_hits,
-       | CASE WHEN t.n = 0 THEN 1.0 ELSE round(h.n::DOUBLE / t.n, 4) END AS recall,
-       | CASE WHEN l.n = 0 THEN 1.0 ELSE round(h.n::DOUBLE / l.n, 4) END AS precision
+       | CASE WHEN t.n = 0 THEN 1.0 ELSE round_even(h.n::DOUBLE / t.n * 10000, 0) / 10000 END AS recall,
+       | CASE WHEN l.n = 0 THEN 1.0 ELSE round_even(h.n::DOUBLE / l.n * 10000, 0) / 10000 END AS precision
        |FROM t, l, h""".stripMargin
   }
 
@@ -214,6 +214,13 @@ object OracleSql {
   //    id%2==0, image only when BOTH a third paragraph exists (id%3==0)
   //    and id%4==0, list/blockquote/table/code on id%7/6/5/8==0
   //  - rejects: pdf docs with id%97==0 carry 101+id%20 pages > 100 cap
+  //
+  // Precondition: the reconstructions assume every doc's clean text
+  // stays under Core8Extractor.TruncateAt (50KB) — true for the driver
+  // corpora (base texts ≤ ~550 chars; the 40x giants reach ~22KB). A
+  // corpus with base texts over ~1.25KB would need the E1 truncation
+  // modeled here (entity sentences sit after the expanded text and
+  // would be cut on giants).
 
   /** Shared synthesis CTEs: expanded text, injected entity sentences,
     * full body string per doc. Margin char '!' — span texts contain '|'.
@@ -401,6 +408,31 @@ object OracleSql {
     * toks/lmd ~120×, and DuckDB would otherwise inline the regex chain
     * per reference.
     */
+  /** Shared HTML-markdown reconstruction (hp paragraphs + hmd span
+    * texts joined) — interpolated by mdCte and every _core oracle so
+    * a DocGen synthesis change is mirrored in exactly one place.
+    */
+  private val htmlMdCte: String =
+    """hp AS (
+      !  SELECT *, expanded || ' ' || s1 || ' ' || s2 AS para0, s3 || ' ' || s4 || ' ' || s5 AS para1
+      !  FROM ent WHERE id % 10 < 5 AND NOT (id % 89 = 34 OR id % 83 = 13)),
+      !hmd AS (
+      !  SELECT did, id, array_to_string(
+      !    ['# Document ' || id || ' Report'] ||
+      !    [CASE WHEN id % 3 = 0 THEN regexp_replace(para0, '^(\w+) (\w+)', '**\1** *\2*') ELSE para0 END] ||
+      !    CASE WHEN id % 2 = 0 THEN ['## Section 1 Findings'] ELSE [] END ||
+      !    [para1] ||
+      !    CASE WHEN id % 3 = 0 THEN
+      !      CASE WHEN id % 4 = 0 THEN ['figure 2 for doc ' || id] ELSE [] END || [s6]
+      !    ELSE [] END ||
+      !    CASE WHEN id % 7 = 0 THEN ['- inspection checklist', '- equipment log', '- training record'] ELSE [] END ||
+      !    CASE WHEN id % 6 = 0 THEN ['> Compliance is verified during each quarterly review.'] ELSE [] END ||
+      !    CASE WHEN id % 5 = 0 THEN ['| Item | Qty |' || chr(10) || '| --- | --- |' || chr(10) ||
+      !       '| unit-' || id || ' | ' || (id % 100) || ' |' || chr(10) || '| spare | ' || (id % 7) || ' |'] ELSE [] END ||
+      !    CASE WHEN id % 8 = 0 THEN ['status = check(sensor)' || chr(10) || 'if status: alert()'] ELSE [] END,
+      !    chr(10)) AS md
+      !  FROM hp)""".stripMargin('!')
+
   private val mdCte: String =
     """pchunks AS (
       !  SELECT *, ((length(body) + 239) // 240)::INT AS nchunks,
@@ -421,31 +453,14 @@ object OracleSql {
       !      CASE WHEN p = 0 AND id % 4 = 0 THEN ['diagram for doc ' || id] ELSE [] END ||
       !      CASE WHEN p < (nchunks + 3) // 4 - 1 THEN ['---'] ELSE [] END)), chr(10)) AS md
       !  FROM pchunks),
-      !hp AS (
-      !  SELECT *, expanded || ' ' || s1 || ' ' || s2 AS para0, s3 || ' ' || s4 || ' ' || s5 AS para1
-      !  FROM ent WHERE id % 10 < 5 AND NOT (id % 89 = 34 OR id % 83 = 13)),
-      !hmd AS (
-      !  SELECT did, id, array_to_string(
-      !    ['# Document ' || id || ' Report'] ||
-      !    [CASE WHEN id % 3 = 0 THEN regexp_replace(para0, '^(\w+) (\w+)', '**\1** *\2*') ELSE para0 END] ||
-      !    CASE WHEN id % 2 = 0 THEN ['## Section 1 Findings'] ELSE [] END ||
-      !    [para1] ||
-      !    CASE WHEN id % 3 = 0 THEN
-      !      CASE WHEN id % 4 = 0 THEN ['figure 2 for doc ' || id] ELSE [] END || [s6]
-      !    ELSE [] END ||
-      !    CASE WHEN id % 7 = 0 THEN ['- inspection checklist', '- equipment log', '- training record'] ELSE [] END ||
-      !    CASE WHEN id % 6 = 0 THEN ['> Compliance is verified during each quarterly review.'] ELSE [] END ||
-      !    CASE WHEN id % 5 = 0 THEN ['| Item | Qty |' || chr(10) || '| --- | --- |' || chr(10) ||
-      !       '| unit-' || id || ' | ' || (id % 100) || ' |' || chr(10) || '| spare | ' || (id % 7) || ' |'] ELSE [] END ||
-      !    CASE WHEN id % 8 = 0 THEN ['status = check(sensor)' || chr(10) || 'if status: alert()'] ELSE [] END,
-      !    chr(10)) AS md
-      !  FROM hp),
+      !$htmlMdCte,
       !mdq AS (
       !  SELECT did, id, md FROM pmd
       !  UNION ALL SELECT did, id, md FROM hmd
       !  UNION ALL SELECT did, id, body AS md FROM bodyq WHERE is_text),
       !tokd AS MATERIALIZED (SELECT did, id, lower(md) AS lmd,
       !  regexp_extract_all(lower(md), '[a-z0-9_]+') AS toks FROM mdq)""".stripMargin('!')
+      .replace("$htmlMdCte", htmlMdCte)
 
   /** C1-C3 classification oracle: weighted keyword scores →
     * percent-normalize → argmax with name-asc tiebreak; rejects fall to
@@ -476,7 +491,7 @@ object OracleSql {
        ! FROM scored)
        !SELECT did AS doc_id,
        ! CASE WHEN dom_total <= 0 THEN 'general' ELSE $dArg END AS primary_domain,
-       ! CASE WHEN dom_total <= 0 THEN 100.0 ELSE round(mx / dom_total * 100, 2) END AS confidence,
+       ! CASE WHEN dom_total <= 0 THEN 100.0 ELSE round_even(mx / dom_total * 10000, 0) / 100 END AS confidence,
        ! CASE WHEN dt_total <= 0 THEN 'document' ELSE $tArg END AS doc_type
        !FROM agg
        !UNION ALL
@@ -522,7 +537,7 @@ object OracleSql {
        !  $cleanExpr AS lclean,
        !  regexp_extract_all($cleanExpr, '[a-z0-9_]+') AS ctoks
        ! FROM agg
-       ! WHERE dom_total > 0 AND round(mx / dom_total * 100, 2) >= 60)
+       ! WHERE dom_total > 0 AND round_even(mx / dom_total * 10000, 0) / 100 >= 60)
        !SELECT did AS doc_id,
        ! unnest(list_filter($entityCases, x -> x IS NOT NULL)) AS domain_entity
        !FROM deep
@@ -541,25 +556,7 @@ object OracleSql {
     */
   val xEntitiesCore: String =
     """WITH SYNTH,
-      !hp AS (
-      !  SELECT *, expanded || ' ' || s1 || ' ' || s2 AS para0, s3 || ' ' || s4 || ' ' || s5 AS para1
-      !  FROM ent WHERE id % 10 < 5 AND NOT (id % 89 = 34 OR id % 83 = 13)),
-      !hmd AS (
-      !  SELECT did, id, array_to_string(
-      !    ['# Document ' || id || ' Report'] ||
-      !    [CASE WHEN id % 3 = 0 THEN regexp_replace(para0, '^(\w+) (\w+)', '**\1** *\2*') ELSE para0 END] ||
-      !    CASE WHEN id % 2 = 0 THEN ['## Section 1 Findings'] ELSE [] END ||
-      !    [para1] ||
-      !    CASE WHEN id % 3 = 0 THEN
-      !      CASE WHEN id % 4 = 0 THEN ['figure 2 for doc ' || id] ELSE [] END || [s6]
-      !    ELSE [] END ||
-      !    CASE WHEN id % 7 = 0 THEN ['- inspection checklist', '- equipment log', '- training record'] ELSE [] END ||
-      !    CASE WHEN id % 6 = 0 THEN ['> Compliance is verified during each quarterly review.'] ELSE [] END ||
-      !    CASE WHEN id % 5 = 0 THEN ['| Item | Qty |' || chr(10) || '| --- | --- |' || chr(10) ||
-      !       '| unit-' || id || ' | ' || (id % 100) || ' |' || chr(10) || '| spare | ' || (id % 7) || ' |'] ELSE [] END ||
-      !    CASE WHEN id % 8 = 0 THEN ['status = check(sensor)' || chr(10) || 'if status: alert()'] ELSE [] END,
-      !    chr(10)) AS md
-      !  FROM hp),
+      !$htmlMdCte,
       !mdq AS (
       !  SELECT did, id, md FROM hmd
       !  UNION ALL SELECT did, id, body AS md FROM bodyq WHERE is_text),
@@ -604,7 +601,7 @@ object OracleSql {
       !  (strpos(clean, e['value']) - 1)::INTEGER AS start,
       !  (strpos(clean, e['value']) - 1 + length(e['value']))::INTEGER AS "end"
       !FROM ents
-      !ORDER BY doc_id, start, type""".stripMargin('!').replace("WITH SYNTH", s"WITH $docSynthCte")
+      !ORDER BY doc_id, start, type""".stripMargin('!').replace("WITH SYNTH", s"WITH $docSynthCte").replace("$htmlMdCte", htmlMdCte)
 
   /** X1 SPO fact oracle over the reconstructable modes: each non-pdf doc
     * carries exactly four facts from the injected sentences — the
@@ -719,25 +716,7 @@ object OracleSql {
     */
   val xNormalizedCore: String =
     """WITH SYNTH,
-       !hp AS (
-       !  SELECT *, expanded || ' ' || s1 || ' ' || s2 AS para0, s3 || ' ' || s4 || ' ' || s5 AS para1
-       !  FROM ent WHERE id % 10 < 5 AND NOT (id % 89 = 34 OR id % 83 = 13)),
-       !hmd AS (
-       !  SELECT did, id, array_to_string(
-       !    ['# Document ' || id || ' Report'] ||
-       !    [CASE WHEN id % 3 = 0 THEN regexp_replace(para0, '^(\w+) (\w+)', '**\1** *\2*') ELSE para0 END] ||
-       !    CASE WHEN id % 2 = 0 THEN ['## Section 1 Findings'] ELSE [] END ||
-       !    [para1] ||
-       !    CASE WHEN id % 3 = 0 THEN
-       !      CASE WHEN id % 4 = 0 THEN ['figure 2 for doc ' || id] ELSE [] END || [s6]
-       !    ELSE [] END ||
-       !    CASE WHEN id % 7 = 0 THEN ['- inspection checklist', '- equipment log', '- training record'] ELSE [] END ||
-       !    CASE WHEN id % 6 = 0 THEN ['> Compliance is verified during each quarterly review.'] ELSE [] END ||
-       !    CASE WHEN id % 5 = 0 THEN ['| Item | Qty |' || chr(10) || '| --- | --- |' || chr(10) ||
-       !       '| unit-' || id || ' | ' || (id % 100) || ' |' || chr(10) || '| spare | ' || (id % 7) || ' |'] ELSE [] END ||
-       !    CASE WHEN id % 8 = 0 THEN ['status = check(sensor)' || chr(10) || 'if status: alert()'] ELSE [] END,
-       !    chr(10)) AS md
-       !  FROM hp),
+       !$htmlMdCte,
        !mdq AS (
        !  SELECT did, id, md FROM hmd
        !  UNION ALL SELECT did, id, body AS md FROM bodyq WHERE is_text),
@@ -788,14 +767,14 @@ object OracleSql {
        !    ) AS norm_len
        !  FROM vals)
        !SELECT did AS doc_id, mentions::BIGINT AS mentions, canonical::BIGINT AS canonical,
-       !  round((1.0 - canonical::DOUBLE / mentions) * 100, 2) AS reduction_pct,
+       !  round_even((1.0 - canonical::DOUBLE / mentions) * 10000, 0) / 100 AS reduction_pct,
        !  norm_len::BIGINT AS norm_len
        !FROM rep
        !UNION ALL
        !SELECT did AS doc_id, 0::BIGINT AS mentions, 0::BIGINT AS canonical,
        !  0.0 AS reduction_pct, 0::BIGINT AS norm_len
        !FROM bodyq WHERE is_url_reject
-       !ORDER BY doc_id""".stripMargin('!').replace("WITH SYNTH", s"WITH $docSynthCte")
+       !ORDER BY doc_id""".stripMargin('!').replace("WITH SYNTH", s"WITH $docSynthCte").replace("$htmlMdCte", htmlMdCte)
 
   /** O2 knowledge-JSON oracle over the reconstructable modes: the
     * ENTIRE serialized artifact is reassembled in SQL (stable field
@@ -805,25 +784,7 @@ object OracleSql {
     */
   val xKnowledgeCore: String =
     """WITH SYNTH,
-       !hp AS (
-       !  SELECT *, expanded || ' ' || s1 || ' ' || s2 AS para0, s3 || ' ' || s4 || ' ' || s5 AS para1
-       !  FROM ent WHERE id % 10 < 5 AND NOT (id % 89 = 34 OR id % 83 = 13)),
-       !hmd AS (
-       !  SELECT did, id, array_to_string(
-       !    ['# Document ' || id || ' Report'] ||
-       !    [CASE WHEN id % 3 = 0 THEN regexp_replace(para0, '^(\w+) (\w+)', '**\1** *\2*') ELSE para0 END] ||
-       !    CASE WHEN id % 2 = 0 THEN ['## Section 1 Findings'] ELSE [] END ||
-       !    [para1] ||
-       !    CASE WHEN id % 3 = 0 THEN
-       !      CASE WHEN id % 4 = 0 THEN ['figure 2 for doc ' || id] ELSE [] END || [s6]
-       !    ELSE [] END ||
-       !    CASE WHEN id % 7 = 0 THEN ['- inspection checklist', '- equipment log', '- training record'] ELSE [] END ||
-       !    CASE WHEN id % 6 = 0 THEN ['> Compliance is verified during each quarterly review.'] ELSE [] END ||
-       !    CASE WHEN id % 5 = 0 THEN ['| Item | Qty |' || chr(10) || '| --- | --- |' || chr(10) ||
-       !       '| unit-' || id || ' | ' || (id % 100) || ' |' || chr(10) || '| spare | ' || (id % 7) || ' |'] ELSE [] END ||
-       !    CASE WHEN id % 8 = 0 THEN ['status = check(sensor)' || chr(10) || 'if status: alert()'] ELSE [] END,
-       !    chr(10)) AS md
-       !  FROM hp),
+       !$htmlMdCte,
        !mdq AS (
        !  SELECT did, id, md FROM hmd
        !  UNION ALL SELECT did, id, body AS md FROM bodyq WHERE is_text),
@@ -894,7 +855,7 @@ object OracleSql {
        !    || '"semantic_summary":{"total_facts":0,"actionable_facts":0,"fact_types":{}},'
        !    || '"canonical_entities":[],"facts":[]}') AS json_md5
        !FROM bodyq WHERE is_url_reject
-       !ORDER BY doc_id""".stripMargin('!').replace("WITH SYNTH", s"WITH $docSynthCte")
+       !ORDER BY doc_id""".stripMargin('!').replace("WITH SYNTH", s"WITH $docSynthCte").replace("$htmlMdCte", htmlMdCte)
 
   /** O1 markdown-artifact oracle over the reconstructable modes: the
     * FULL .md artifact — YAML frontmatter (conversion + URL block,
@@ -916,7 +877,7 @@ object OracleSql {
     val tMx = "greatest(" + tN.map(d => s"dt_$d").mkString(", ") + ")"
     val tArg = "CASE " + tN.map(d => s"WHEN dt_$d = mx2 THEN '$d'").mkString(" ") + " END"
     val dStructs = dN.map(d =>
-      s"{'ns': -dom_$d, 'd': '$d', 'v': round(dom_$d / dom_total * 100, 2)}").mkString(", ")
+      s"{'ns': -dom_$d, 'd': '$d', 'v': round_even(dom_$d / dom_total * 10000, 0) / 100}").mkString(", ")
     val sorted = s"list_sort(list_filter([$dStructs], x -> x['v'] > 0))"
     def fmtd(v: String) =
       s"CASE WHEN $v = floor($v) THEN floor($v)::BIGINT || '.0' ELSE $v::VARCHAR END"

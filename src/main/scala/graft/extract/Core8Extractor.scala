@@ -203,8 +203,14 @@ object Core8Extractor {
   // ----------------------------------------------------------------- org
 
   // cache keys carry the corpus version: a table-loaded bundle
-  // recompiles its automatons lazily on first use in each JVM
-  private def orgAc = AhoCorasick.cached(s"core8.orgs.${Corpora.version}", Corpora.orgs.toSeq.sorted)
+  // recompiles its automatons lazily on first use in each JVM. The
+  // bundle is snapshotted ONCE per call so version and pattern set come
+  // from the SAME bundle — reading them separately could cache an old
+  // automaton under a new version key if an install lands in between
+  private def orgAc = {
+    val b = Corpora.bundle
+    AhoCorasick.cached(s"core8.orgs.${b.version}", b.orgs.toSeq.sorted)
+  }
 
   /** E4: ORG extractor — per-sentence AC over the org corpus with
     * word-boundary validation, plus capitalized runs ending in a legal /
@@ -250,8 +256,14 @@ object Core8Extractor {
 
   // ------------------------------------------------------------- gpe/loc
 
-  private def gpeAc = AhoCorasick.cached(s"core8.gpe.${Corpora.version}", Corpora.gpe.keys.toSeq.sorted)
-  private def locAc = AhoCorasick.cached(s"core8.loc.${Corpora.version}", Corpora.loc.keys.toSeq.sorted)
+  private def gpeAc = {
+    val b = Corpora.bundle
+    AhoCorasick.cached(s"core8.gpe.${b.version}", b.gpe.keys.toSeq.sorted)
+  }
+  private def locAc = {
+    val b = Corpora.bundle
+    AhoCorasick.cached(s"core8.loc.${b.version}", b.loc.keys.toSeq.sorted)
+  }
 
   /** E6/E7: gazetteer AC over the doc; len>2; dedup; cap 50. */
   private def extractGazetteer(text: String, ac: AhoCorasick, tpe: String): Seq[EntityMention] = {

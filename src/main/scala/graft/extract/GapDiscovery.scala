@@ -123,10 +123,23 @@ object GapDiscovery {
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         round(avg(col("confidence")), 4).as("mean_conf"))
       .filter(col("n_docs") >= minDocs && col("mean_conf") >= threshold)
-      .select(
-        when(col("type") === "ORG", lit("org"))
-          .when(col("type") === "LOC", lit("loc"))
-          .otherwise(lit("last_name")).as("kind"),
-        lower(col("text")).as("value"),
+      // PERSON names must land as the single TOKENS the person extractor
+      // scores against (first token -> first_name, last token ->
+      // last_name; single-token discoveries are surnames from the title
+      // pattern) — a multi-word string in lastNames would never match
+      .withColumn("toks", split(lower(col("text")), "\\s+"))
+      .withColumn("rows",
+        when(col("type") === "ORG",
+          array(struct(lit("org").as("kind"), lower(col("text")).as("value"))))
+        .when(col("type") === "LOC",
+          array(struct(lit("loc").as("kind"), lower(col("text")).as("value"))))
+        .when(size(col("toks")) === 1,
+          array(struct(lit("last_name").as("kind"), element_at(col("toks"), 1).as("value"))))
+        .otherwise(array(
+          struct(lit("first_name").as("kind"), element_at(col("toks"), 1).as("value")),
+          struct(lit("last_name").as("kind"), element_at(col("toks"), -1).as("value")))))
+      .select(explode(col("rows")).as("r"), col("n_docs"))
+      .select(col("r.kind").as("kind"), col("r.value").as("value"),
         concat(lit("discovered:"), col("n_docs")).as("meta"))
+      .distinct()
 }

@@ -142,4 +142,14 @@ object AhoCorasick {
     */
   def cached(key: String, patterns: => Seq[String]): AhoCorasick =
     cache.computeIfAbsent(key, _ => build(patterns))
+
+  /** Drop cached automatons whose key matches — called when a corpus
+    * bundle is superseded so stale versions don't accumulate for the
+    * JVM lifetime (in-flight users keep their references; removal only
+    * unpins the map entry).
+    */
+  def evict(pred: String => Boolean): Unit = {
+    val it = cache.keySet.iterator
+    while (it.hasNext) if (pred(it.next())) it.remove()
+  }
 }

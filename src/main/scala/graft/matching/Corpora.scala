@@ -216,9 +216,18 @@ object Corpora {
     * version — executors call this at partition start
     * (ExtractionPipeline), so a table-loaded corpus reaches every JVM
     * without reshipping per task. Version-keyed automaton caches
-    * (AhoCorasick.cached) recompile lazily on first use.
+    * (AhoCorasick.cached) recompile lazily on first use; the superseded
+    * version's automatons are evicted so periodic corpus refreshes do
+    * not accumulate automaton generations for the JVM lifetime.
+    * Assumes one active bundle per executor JVM (true in production:
+    * executors are per-application; concurrent different-bundle
+    * pipelines only arise in shared local-mode sessions).
     */
-  def install(b: CorpusBundle): Unit = if (active.version != b.version) active = b
+  def install(b: CorpusBundle): Unit = if (active.version != b.version) {
+    val old = active.version
+    active = b
+    AhoCorasick.evict(_.endsWith(s".$old"))
+  }
 
   def reset(): Unit = active = builtIn
 

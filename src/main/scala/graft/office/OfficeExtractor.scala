@@ -138,6 +138,13 @@ object OfficeExtractor {
     Right(toSpans(out.toSeq))
   }
 
+  /** Title pairing assumes workbook.xml sheet order matches numeric
+    * part order — true for the synthesis and for writers that emit
+    * parts in tab order. Full fidelity on reordered workbooks needs the
+    * r:id → xl/_rels/workbook.xml.rels resolution (the openpyxl primary
+    * path's behavior); the reference's own zip fallback skips titles
+    * entirely (`mvp-hyper-core.py:712-778`).
+    */
   def extractXlsx(parts: Seq[OfficePart]): Either[String, Seq[Span]] = {
     val sheets = numberedParts(parts, "xl/worksheets/sheet")
     if (sheets.isEmpty) return Left("missing parts: xl/worksheets/sheet*.xml")

@@ -71,9 +71,13 @@ final class ParquetStorage extends Storage {
     if (!fs.exists(path)) return "absent"
     // recursive listing with the full relative path in the digest:
     // partitioned tables rewrite files inside subdirectories, and a
-    // same-name/same-size rewrite must still flip the snapshot id
-    val base = path.toUri.getPath
-    val it = fs.listFiles(path, true)
+    // same-name/same-size rewrite must still flip the snapshot id.
+    // Qualify the base first — listFiles returns qualified paths, so a
+    // relative table path would never strip and the digest would embed
+    // the absolute location (same content, different id per cwd)
+    val qualified = fs.makeQualified(path)
+    val base = qualified.toUri.getPath
+    val it = fs.listFiles(qualified, true)
     val buf = scala.collection.mutable.ArrayBuffer.empty[String]
     while (it.hasNext) {
       val st = it.next()

@@ -156,7 +156,16 @@ object TextOps {
     * cross join — candidate pairs are bounded by shingle co-occurrence,
     * and the DF cap above bounds the per-key blowup.
     */
-  def ngramJaccard(s: SparkSession, dir: String, threshold: Double = 0.2): DataFrame = {
+  private val ngramPairCache = new graft.util.SessionCache[DataFrame]
+
+  def ngramJaccard(s: SparkSession, dir: String, threshold: Double = 0.2): DataFrame =
+    ngramPairCache.getOrElseUpdate(s, s"$dir#$threshold") {
+      val df = ngramJaccardUncached(s, dir, threshold)
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df
+    }
+
+  private def ngramJaccardUncached(s: SparkSession, dir: String, threshold: Double): DataFrame = {
     val sh = cappedShingles(shingles(s, dir), MaxShingleDf)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("x").join(sh.as("y"),
