@@ -73,6 +73,14 @@ class GapDiscoverySpec extends AnyFunSuite with BeforeAndAfterAll {
     val learned = GapDiscovery.learningCandidates(found, threshold = 0.85, minDocs = 2).collect()
     val values = learned.map(r => (r.getString(0), r.getString(1))).toSet
     assert(values.contains(("org", "meridian technologies")), s"got $values")
+    // PERSON discoveries land as the single tokens the person extractor
+    // scores against — never multi-word strings
+    val people = spark.createDataset((1L to 2L).map(i =>
+      ("d" + i, "PERSON", "Zofia Kowalczyk", 0.9, "title_person")))
+      .toDF("doc_id", "type", "text", "confidence", "pattern")
+    val prows = GapDiscovery.learningCandidates(people, threshold = 0.85, minDocs = 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(prows === Set(("first_name", "zofia"), ("last_name", "kowalczyk")), s"got $prows")
     // the corpus rows are loadable through the production table path
     val table = learned.map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
     val bundle = graft.matching.CorpusTable.fromRows("learned-v1", table)

@@ -61,6 +61,18 @@ class CorpusTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     Corpora.reset()
   }
 
+  test("superseded bundle versions evict their automatons") {
+    Corpora.reset()
+    AhoCorasick.cached(s"core8.test.${Corpora.version}", Seq("alpha"))
+    val v0 = Corpora.version
+    Corpora.install(Corpora.builtIn.copy(version = "evict-v1"))
+    // the old version's keyed automatons are gone; new ones compile fresh
+    var rebuilt = false
+    AhoCorasick.cached(s"core8.test.$v0", { rebuilt = true; Seq("alpha") })
+    assert(rebuilt, "stale-version automaton was not evicted")
+    Corpora.reset()
+  }
+
   test("pipeline run ships the loaded bundle to partitions (higher entity recall)") {
     import spark.implicits._
     val raw = spark.createDataset(Seq(
