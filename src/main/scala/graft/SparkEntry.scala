@@ -9,17 +9,22 @@ import org.apache.spark.sql.functions._
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * Query families:
-  *   x_*  — the extraction engine itself (HTML/PDF/text → spans,
-  *          classification, entities, normalization, facts). Not
-  *          SQL-expressible, so they get rows-only driver checks; exact
-  *          span-sequence correctness is enforced by the ScalaTest golden
-  *          suite instead.
-  *   q*   — relational operator coverage over the TPC-H-ish tables with
-  *          DuckDB hash-verified oracles.
-  *   t*   — training-data text ops (dedup, quality, lang-id, tokens,
-  *          fingerprints) over `documents`, DuckDB-verified where the
-  *          formula is expressible in both dialects.
-  *   s*   — embedding similarity search over `embeddings`.
+  *   x_*  — the extraction engine (HTML/PDF/text/office → spans,
+  *          classification, entities, normalization, facts, artifacts).
+  *          Hash-gated by RECONSTRUCTION oracles (the deterministic
+  *          synthesis re-derived as DuckDB arithmetic; see OracleSql);
+  *          `_core` variants gate the downstream stages over the
+  *          exactly-reconstructable modes, all-modes variants keep
+  *          rows-only checks plus the ScalaTest golden suite.
+  *   q*   — relational + streaming coverage over the TPC-H-ish tables
+  *          (q1-q17) and the stream/batch session parity replay (q18),
+  *          all DuckDB hash-verified.
+  *   t*   — training-data text ops (tokens, quality, lang-id,
+  *          fingerprints, exact/near dedup, dup GROUPS, corpus
+  *          curation, LSH recall) over `documents`.
+  *   s*   — embedding similarity (top-k, LSH/IVF ANN, centroids,
+  *          near-dup groups) over `embeddings`.
+  *   m*   — multimodal binary-payload ops.
   */
 object SparkEntry {
 
