@@ -1,6 +1,6 @@
 package graft.sim
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over the `embeddings` table (vec_id, embedding:
@@ -147,6 +147,23 @@ object Similarity {
       .agg((round(avg(col("v")), 4) + lit(0.0)).as("mean_v"))
       .orderBy("label", "dim")
 
+  /** Centroids collected to the driver, memoized per (session, dir) —
+    * the k ≈ √n cell centers are broadcast-sized by construction, so
+    * they are baked into projections as literals (see ivfTopK) instead
+    * of joined. One aggregation job total, shared by the assignment and
+    * probe branches (r2 computed it twice).
+    */
+  private val centroidCache = new graft.util.SessionCache[Array[(Int, Array[Double])]]
+
+  private[sim] def collectedCentroids(s: SparkSession, dir: String): Array[(Int, Array[Double])] =
+    centroidCache.getOrElseUpdate(s, dir) {
+      labelCentroids(s, dir).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).toArray
+        .map { case (lbl, rows) => (lbl, rows.sortBy(_._2).map(_._3)) }
+        .sortBy(_._1)
+    }
+
   /** Embedding-cosine near-duplicate detection: candidate pairs from the
     * multi-table LSH layout (no O(n²) scan), verified with exact cosine,
     * kept at ≥ threshold. The dedup twin of lshTopK — at 10^9 vectors
@@ -197,46 +214,57 @@ object Similarity {
       .orderBy("vec_id")
   }
 
-  /** Mixed-type cosine (float[] vs double[] centroid) via the HOF chain —
-    * tiny inputs (k centroids), mirrored exactly by the oracle.
+  /** Mixed-type cosine (float[] column vs literal double[] centroid) as
+    * Column-API higher-order functions — the exact same sequential left
+    * fold (and therefore IEEE result bits) as the oracle's list_reduce
+    * chain, with the centroid constant-folded into codegen.
     */
-  private def cosineMixed(a: String, c: String) = expr(
-    s"""aggregate(zip_with($a, $c, (x, y) -> cast(x AS double) * y), 0D, (acc, v) -> acc + v)
-       | / (sqrt(aggregate($a, 0D, (acc, v) -> acc + cast(v AS double) * cast(v AS double)))
-       |  * sqrt(aggregate($c, 0D, (acc, v) -> acc + v * v)))""".stripMargin)
+  private def cosineMixedCol(a: Column, c: Column): Column = {
+    val dot = aggregate(zip_with(a, c, (x, y) => x.cast("double") * y),
+      lit(0.0), (acc, v) => acc + v)
+    val na = aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))
+    val nc = aggregate(c, lit(0.0), (acc, v) => acc + v * v)
+    dot / (sqrt(na) * sqrt(nc))
+  }
 
   val NProbe = 2
 
   /** IVF ANN: coarse-quantize each vector to its nearest label centroid
     * (the cell), probe the query's NProbe nearest cells, exact top-k
     * within the probed cells only. Centroid components are rounded to 4
-    * decimals so both engines quantize identically. At 10^9 vectors the
-    * centroid table is broadcast (k ≈ √n cells) and the probe join
-    * replaces the full scan with ~NProbe/k of the data.
+    * decimals so both engines quantize identically.
+    *
+    * Cell assignment is SHUFFLE-FREE: the k ≈ √n centroids are collected
+    * once (broadcast-sized by construction) and baked into a single
+    * projection as literal arrays — each row picks its cell with
+    * `array_max` over struct(cos_c, -label) (max cosine, ties to the
+    * lowest label, matching the oracle's ORDER BY cos_c DESC, c_label).
+    * r2's version instead joined emb × centroids and ranked with a
+    * window over vec_id, exchanging n×k embedding-carrying rows; at 10^9
+    * vectors that shuffle dwarfed the probe-join savings. Now the only
+    * exchange in the plan is the final per-query top-k window.
     */
   def ivfTopK(s: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.ensureRegistered(s)
     val emb = embeddings(s, dir)
-    val centroids = broadcast(
-      labelCentroids(s, dir)
-        .groupBy(col("label").as("c_label"))
-        .agg(expr("transform(array_sort(collect_list(struct(dim, mean_v))), s -> s.mean_v)")
-          .as("centroid")))
-    val wCell = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cos_c").desc, col("c_label"))
-    val assigned = emb.join(centroids)
-      .withColumn("cos_c", cosineMixed("embedding", "centroid"))
-      .withColumn("rn", row_number().over(wCell))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("c_label").as("cell"))
+    val cands = array(collectedCentroids(s, dir).map { case (lbl, vec) =>
+      val cvec = array(vec.map(lit(_)): _*)
+      struct(cosineMixedCol(col("embedding"), cvec).as("cos_c"),
+        lit(-lbl).as("neg_label"))
+    }: _*)
+    val assigned = emb.select(col("vec_id"), col("embedding"),
+      (-array_max(cands).getField("neg_label")).as("cell"))
+    // struct comparison is lexicographic (cos_c, neg_label), so sorting
+    // descending = cosine desc with ties to the lowest label
+    val cellsDesc = array_sort(cands,
+      (l, r) => when(l > r, lit(-1)).when(l < r, lit(1)).otherwise(lit(0)))
     val probes = broadcast(
-      emb.filter(col("vec_id") < nQueries).join(centroids)
-        .withColumn("cos_c", cosineMixed("embedding", "centroid"))
-        .withColumn("rn", row_number().over(wCell))
-        .filter(col("rn") <= NProbe)
+      emb.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-          col("c_label").as("probe_cell")))
+          explode(slice(cellsDesc, 1, NProbe)).as("pc"))
+        .withColumn("probe_cell", -col("pc").getField("neg_label"))
+        .drop("pc"))
     val wK = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
     assigned
       .join(probes, col("cell") === col("probe_cell") && col("vec_id") =!= col("q_id"))
