@@ -99,18 +99,24 @@ object OracleSql {
       s"SELECT doc_id, $b AS band, md5(concat_ws(',', $cols)) AS bh FROM sig"
     }.mkString("\n UNION ALL\n ")
     s"""WITH $shinglesCte,
-       |hs AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT % $p AS h FROM sh),
+       |keepers AS (SELECT min(doc_id) AS doc_id
+       | FROM (SELECT doc_id, $fpExpr AS fp FROM documents) GROUP BY fp),
+       |shk AS (SELECT s.doc_id, s.sh FROM sh s JOIN keepers k ON s.doc_id = k.doc_id),
+       |hs AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT % $p AS h FROM shk),
        |sig AS (SELECT doc_id,
        |  $mins
        | FROM hs GROUP BY doc_id),
        |bands AS (
        | $bandSelects),
+       |bsz AS (SELECT band, bh, count(*) AS n FROM bands GROUP BY 1, 2),
+       |bandsok AS (SELECT b.doc_id, b.band, b.bh FROM bands b
+       | JOIN bsz ON b.band = bsz.band AND b.bh = bsz.bh AND bsz.n <= ${TextOps.MaxBandBucket}),
        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-       | FROM bands x JOIN bands y
+       | FROM bandsok x JOIN bandsok y
        | ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
-       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM shk GROUP BY 1),
        |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
-       | FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id GROUP BY 1, 2)
+       | FROM shk x JOIN shk y ON x.sh = y.sh AND x.doc_id < y.doc_id GROUP BY 1, 2)
        |SELECT c.a AS a, c.b AS b, round(i::DOUBLE / (sa.n + sb.n - i), 4) AS jaccard
        |FROM cand c JOIN inter ON inter.a = c.a AND inter.b = c.b
        |JOIN sizes sa ON sa.doc_id = c.a JOIN sizes sb ON sb.doc_id = c.b
@@ -158,11 +164,16 @@ object OracleSql {
        |LEFT JOIN nd USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
-  /** t12 oracle: compose the exact-Jaccard and LSH pair SQL. */
+  /** t12 oracle: compose the exact-Jaccard and LSH pair SQL. Truth is
+    * restricted to exact-dedup keepers, matching TextOps.lshRecall.
+    */
   def lshRecall(threshold: Double): String = {
     val truth = ngramJaccard(threshold).stripSuffix("ORDER BY a, b").trim
     val lsh = minhashLsh(threshold).stripSuffix("ORDER BY c.a, c.b").trim
-    s"""WITH truth AS (SELECT a, b FROM ($truth)),
+    s"""WITH tkeep AS (SELECT min(doc_id) AS doc_id
+       | FROM (SELECT doc_id, $fpExpr AS fp FROM documents) GROUP BY fp),
+       |truth AS (SELECT a, b FROM ($truth)
+       | WHERE a IN (SELECT doc_id FROM tkeep) AND b IN (SELECT doc_id FROM tkeep)),
        |lsh AS (SELECT a, b FROM ($lsh)),
        |h AS (SELECT count(*) AS n FROM truth JOIN lsh USING (a, b)),
        |t AS (SELECT count(*) AS n FROM truth),
@@ -1136,8 +1147,14 @@ object OracleSql {
     val bucketRows = lshBucketRowsSql
     s"""WITH b AS (
        | $bucketRows),
+       |ekeep AS (SELECT min(vec_id) AS vec_id FROM embeddings GROUP BY embedding),
+       |bk AS (SELECT b.vec_id, b.tbl, b.bucket FROM b JOIN ekeep k ON b.vec_id = k.vec_id),
+       |bsz AS (SELECT tbl, bucket, count(*) AS n FROM bk GROUP BY 1, 2),
+       |bok AS (SELECT bk.vec_id, bk.tbl, bk.bucket FROM bk
+       | JOIN bsz ON bk.tbl = bsz.tbl AND bk.bucket = bsz.bucket
+       |  AND bsz.n <= ${graft.sim.Similarity.MaxSignBucket}),
        |pairs AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
-       | FROM b x JOIN b y ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+       | FROM bok x JOIN bok y ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
        |j AS (SELECT p.a, p.b,
        |  round(${cosineSql("ea.embedding", "eb.embedding")}, 4) AS cos
        | FROM pairs p JOIN embeddings ea ON ea.vec_id = p.a

@@ -20,6 +20,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the oracle SQL is generated from the BUILT-IN corpus constants — a
+    // prior install() in this JVM would silently invalidate every
+    // extraction-facet oracle, so normalize before dumping
+    graft.matching.Corpora.reset()
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }

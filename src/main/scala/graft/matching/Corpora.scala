@@ -229,7 +229,12 @@ object Corpora {
     AhoCorasick.evict(_.endsWith(s".$old"))
   }
 
-  def reset(): Unit = active = builtIn
+  /** Routed through install() so superseded-version automaton eviction
+    * runs on BOTH transitions (install/reset cycles — the test pattern —
+    * would otherwise pin stale version-keyed automatons for the JVM
+    * lifetime).
+    */
+  def reset(): Unit = install(builtIn)
 
   def bundle: CorpusBundle = active
   def version: String = active.version

@@ -182,12 +182,35 @@ object Similarity {
       df
     }
 
+  /** Max vectors per sign-LSH bucket for the dedup pair join — the
+    * embedding-side twin of TextOps.MaxBandBucket (a hot bucket of
+    * near-identical vectors pairs quadratically). Mirrored in
+    * OracleSql.embeddingDedup.
+    */
+  val MaxSignBucket = 1000
+
   private def embeddingDedupUncached(s: SparkSession, dir: String, threshold: Double): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(s)
     val emb = embeddings(s, dir)
+    // exact-dedup-first: one keeper per identical vector, so byte-equal
+    // embeddings collapse before bucket pairing. The grouping key here
+    // is the array itself (map-side partial agg); at 10^9 vectors you'd
+    // precompute a 128-bit content fingerprint column and group on that
+    // to shuffle 16 bytes instead of the vector payload.
+    val keepers = emb.groupBy(col("embedding"))
+      .agg(min(col("vec_id")).as("vec_id")).select("vec_id")
     val buckets = lshBuckets(s, dir)
-    val pairs = buckets.as("x")
-      .join(buckets.as("y"),
+      .join(keepers, Seq("vec_id"), "left_semi")
+    val bsz = buckets.groupBy("tbl", "bucket").agg(count(lit(1)).as("bsz"))
+    val nDropped = bsz.filter(col("bsz") > MaxSignBucket).count()
+    if (nDropped > 0)
+      System.err.println(
+        s"[graft] t9: dropped $nDropped sign buckets over cap $MaxSignBucket from candidate generation")
+    val bucketsOk = buckets.join(
+      bsz.filter(col("bsz") <= MaxSignBucket).select("tbl", "bucket"),
+      Seq("tbl", "bucket"), "left_semi")
+    val pairs = bucketsOk.as("x")
+      .join(bucketsOk.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))

@@ -211,10 +211,33 @@ object TextOps {
     hs.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Exact-dedup-first: one keeper doc per fingerprint (the min id).
+    * Identical documents collapse BEFORE near-dup candidate generation —
+    * a crawl corpus is dominated by byte-identical reposts, and every
+    * such cluster of size k would otherwise land in the same LSH bucket
+    * in every band and emit k²/2 candidate pairs per band. groupBy(fp)
+    * gets map-side partial aggregation (one row per fingerprint per
+    * partition crosses the wire), unlike the t5 window.
+    */
+  private def exactKeepers(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), fingerprintCol.as("fp"))
+      .groupBy("fp").agg(min("doc_id").as("doc_id")).select("doc_id")
+
+  /** Max docs per LSH band bucket. A degenerate hot bucket (boilerplate
+    * or near-empty docs whose signatures collide) pairs quadratically
+    * inside the bucket, re-creating the blowup LSH exists to avoid —
+    * production pipelines drop such buckets (their contents are exactly
+    * the junk dedup is trying to kill) and log the count (no silent
+    * caps). Mirrored in OracleSql.minhashLsh; bounded pair cost:
+    * Σ min(bucket, cap)² per (band, hash).
+    */
+  val MaxBandBucket = 1000
+
   /** MinHash+LSH near-dup: band the signature (4 bands × 4 rows), bucket
     * by band hash, equi-join buckets for candidates, verify candidates
     * with true Jaccard, keep ≥ threshold. The scale path: candidate
-    * generation is O(collisions), not O(n²).
+    * generation is O(collisions), not O(n²). Exact dups are collapsed
+    * first and over-cap buckets dropped (see exactKeepers/MaxBandBucket).
     */
   /** Verified LSH pairs persisted per (session, dir, threshold): t7,
     * t10 and t11 all consume them — one signature+verify computation.
@@ -232,14 +255,26 @@ object TextOps {
     // one shingle computation feeds BOTH the signatures and the verify
     // stage (persisted by the shingles() memo); candidates are tiny
     val sh0 = shingles(s, dir)
-    val sig = minhashSignaturesFrom(sh0)
+    val shk = sh0.join(exactKeepers(s, dir), Seq("doc_id"), "left_semi")
+    val sig = minhashSignaturesFrom(shk)
     val r = NumHashes / NumBands
     val bands = (0 until NumBands).map { b =>
       val cols = (b * r until (b + 1) * r).map(i => col(s"m$i"))
       sig.select(col("doc_id"), lit(b).as("band"),
         md5(concat_ws(",", cols: _*)).as("bh"))
     }.reduce(_.unionByName(_))
-    val cand = bands.as("x").join(bands.as("y"),
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // bucket-size gate: count each (band, hash) bucket, drop over-cap
+    // buckets from pairing, and LOG the drop — never truncate silently
+    val bsz = bands.groupBy("band", "bh").agg(count(lit(1)).as("bsz"))
+    val nDropped = bsz.filter(col("bsz") > MaxBandBucket).count()
+    if (nDropped > 0)
+      System.err.println(
+        s"[graft] t7: dropped $nDropped band buckets over cap $MaxBandBucket from candidate generation")
+    val bandsOk = bands.join(
+      bsz.filter(col("bsz") <= MaxBandBucket).select("band", "bh"),
+      Seq("band", "bh"), "left_semi")
+    val cand = bandsOk.as("x").join(bandsOk.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
@@ -254,7 +289,7 @@ object TextOps {
     // degenerates toward the all-pairs cost LSH exists to avoid.
     val candDocs = cand.select(col("a").as("doc_id"))
       .unionByName(cand.select(col("b").as("doc_id"))).distinct()
-    val sets = sh0.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+    val sets = shk.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
       .groupBy("doc_id").agg(collect_set(col("sh")).as("shs"))
     cand
       .join(sets.select(col("doc_id").as("a"), col("shs").as("sa")), Seq("a"))
@@ -296,31 +331,41 @@ object TextOps {
       .withColumn("label", col("doc_id"))
       .repartition(p, col("doc_id"))
       .localCheckpoint()
-    var changed = 1L
+    var changed = true
     var rounds = 0
-    while (changed > 0 && rounds < 25) {
+    val MaxRounds = 25 // pointer doubling: covers component diameters to 2^25
+    while (changed && rounds < MaxRounds) {
       val neighborMin = edges
         .join(labels.withColumnRenamed("doc_id", "b").withColumnRenamed("label", "nl"), "b")
         .groupBy(col("a").as("doc_id"))
         .agg(min(col("nl")).as("nmin"))
       val stepped = labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
+          (coalesce(col("nmin"), col("label")) < col("label")).as("chg1"))
       // pointer doubling: label := label(label) — labels always point at
-      // graph vertices, every vertex has a row, so the self-join is total
+      // graph vertices, every vertex has a row, so the self-join is total.
+      // The change flag rides INSIDE the materialized frame: convergence
+      // detection is then an isEmpty scan of the checkpointed partitions
+      // instead of r2's extra join+count job — 2 driver barriers per
+      // round (eager checkpoint + flag scan), not 3, and one less
+      // shuffle join per round.
       val next = stepped.as("x")
         .join(stepped.select(col("doc_id").as("p_id"), col("label").as("p_label")),
           col("x.label") === col("p_id"))
-        .select(col("x.doc_id").as("doc_id"), col("p_label").as("label"))
+        .select(col("x.doc_id").as("doc_id"), col("p_label").as("label"),
+          (col("x.chg1") || col("p_label") =!= col("x.label")).as("chg"))
         .repartition(p, col("doc_id"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
-        .filter(col("label") =!= col("old")).count()
-      labels = next
+      changed = !next.where(col("chg")).isEmpty
+      labels = next.select("doc_id", "label")
       rounds += 1
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         println(s"[cc] round $rounds changed=$changed ${System.nanoTime() / 1000000}ms")
     }
+    // a correctness-gated operator must fail loudly, never return
+    // silently split groups (unreachable below 2^25-diameter components)
+    require(!changed, s"connected components did not converge after $rounds rounds")
     labels
   }
 
@@ -350,11 +395,18 @@ object TextOps {
     * same threshold. Ground truth uses the DF-capped shingle space (the
     * t6 baseline); LSH verification runs uncapped — near-threshold
     * pairs can differ between the two spaces, which is part of what the
-    * metric reports. One row; the joins run over the two small pair
-    * frames, both already memoized.
+    * metric reports. Truth pairs are restricted to exact-dedup keepers,
+    * because t7 deliberately collapses exact dups before candidate
+    * generation — the metric measures the banding MECHANISM, not that
+    * policy. One row; the joins run over the two small pair frames,
+    * both already memoized.
     */
   def lshRecall(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val keepers = exactKeepers(s, dir)
     val truth = ngramJaccard(s, dir, threshold).select("a", "b")
+      .join(keepers.withColumnRenamed("doc_id", "a"), Seq("a"), "left_semi")
+      .join(keepers.withColumnRenamed("doc_id", "b"), Seq("b"), "left_semi")
+      .select("a", "b")
     val lsh = minhashLsh(s, dir, threshold).select("a", "b")
     val hits = truth.join(lsh, Seq("a", "b"))
     val nTruth = truth.count()
