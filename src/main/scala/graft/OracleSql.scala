@@ -267,12 +267,17 @@ object OracleSql {
       !      || ' approved the findings.' AS s5,
       !    'OSHA and NIOSH published workplace safety and fall protection guidance '
       !      || 'in the Federal Register covering scaffold, guardrail and lockout tagout hazards, '
-      !      || 'with PPE and respirator requirements under the hazcom standard.' AS s6
+      !      || 'with PPE and respirator requirements under the hazcom standard.' AS s6,
+      !    'President ' || (['Wexford','Tarlow','Quimby','Ashford'])[(id % 4 + 1)::INT]
+      !      || ' of the Department of ' || (['Harborview','Glenfield','Marwick','Ostrander'])[((id // 4) % 4 + 1)::INT]
+      !      || ' visited ' || (['Pinecrest','Eastbrook','Larkspur','Dunmore','Hollybrook'])[((id // 10) % 5 + 1)::INT]
+      !      || ' Valley.' AS s7
       !  FROM syn),
       !bodyq AS (
       !  SELECT *,
       !    expanded || ' ' || s1 || ' ' || s2 || ' ' || s3 || ' ' || s4 || ' ' || s5
-      !      || CASE WHEN id % 3 = 0 THEN ' ' || s6 ELSE '' END AS body
+      !      || CASE WHEN id % 3 = 0 THEN ' ' || s6 ELSE '' END
+      !      || CASE WHEN is_text THEN ' ' || s7 ELSE '' END AS body
       !  FROM ent)""".stripMargin('!')
 
   val xRejects: String =
@@ -1005,6 +1010,69 @@ object OracleSql {
        !SELECT did AS doc_id, length(md)::INTEGER AS md_len, md5(md) AS md_md5 FROM rart
        !ORDER BY doc_id""".stripMargin('!')
   }
+
+  /** E15 gap-discovery oracle: text-mode docs carry the injected
+    * discovery sentence (DocGen.discoverySentence) — its three proper
+    * nouns are invisible to Core-8 (unknown surname, leading-cue
+    * agency, un-gazetteered valley) so the sentence survives as a gap
+    * sentence, and the three pattern hits + confidences + spans are
+    * pure arithmetic. HTML docs' gap sentences (list/table/code tails)
+    * contain no pattern-shaped text, so they contribute zero rows;
+    * confidences are the `_calculate_confidence` constants (title
+    * single word 0.8+istitle, 3-word agency 0.85+2·0.05, 2-word
+    * title-case feature 0.8+0.05+0.05).
+    */
+  val xDiscoveriesCore: String =
+    s"""WITH $docSynthCte,
+       !disc AS (
+       !  SELECT did, body,
+       !    (['Wexford','Tarlow','Quimby','Ashford'])[(id % 4 + 1)::INT] AS sur,
+       !    'Department of ' || (['Harborview','Glenfield','Marwick','Ostrander'])[((id // 4) % 4 + 1)::INT] AS dept,
+       !    (['Pinecrest','Eastbrook','Larkspur','Dunmore','Hollybrook'])[((id // 10) % 5 + 1)::INT] || ' Valley' AS gfeat
+       !  FROM bodyq WHERE is_text),
+       !rows0 AS (
+       !  SELECT did, body, unnest([
+       !    {'type': 'PERSON', 'text': sur, 'confidence': 0.85::DOUBLE, 'pattern': 'title_person'},
+       !    {'type': 'ORG', 'text': dept, 'confidence': 0.95::DOUBLE, 'pattern': 'government_agency'},
+       !    {'type': 'LOC', 'text': gfeat, 'confidence': 0.9::DOUBLE, 'pattern': 'geographic_feature'}]) AS d
+       !  FROM disc)
+       !SELECT did AS doc_id, d['type'] AS type, d['text'] AS text,
+       !  d['confidence'] AS confidence,
+       !  (strpos(body, d['text']) - 1)::INTEGER AS start,
+       !  (strpos(body, d['text']) - 1 + length(d['text']))::INTEGER AS "end",
+       !  d['pattern'] AS pattern
+       !FROM rows0 ORDER BY doc_id, start""".stripMargin('!')
+
+  /** E15 learning-loop oracle: the corpus-level aggregation of the same
+    * discovery rows — groupBy (type, text), n_docs ≥ 2 and mean
+    * confidence ≥ 0.85, emitted as the (kind, value, meta) corpus rows
+    * CorpusTable.load ingests (single-token PERSON → last_name).
+    */
+  val xDiscoveryLearnCore: String =
+    s"""WITH $docSynthCte,
+       !disc AS (
+       !  SELECT did,
+       !    (['Wexford','Tarlow','Quimby','Ashford'])[(id % 4 + 1)::INT] AS sur,
+       !    'Department of ' || (['Harborview','Glenfield','Marwick','Ostrander'])[((id // 4) % 4 + 1)::INT] AS dept,
+       !    (['Pinecrest','Eastbrook','Larkspur','Dunmore','Hollybrook'])[((id // 10) % 5 + 1)::INT] || ' Valley' AS gfeat
+       !  FROM bodyq WHERE is_text),
+       !rows0 AS (
+       !  SELECT did, unnest([
+       !    {'type': 'PERSON', 'text': sur, 'conf': 0.85::DOUBLE},
+       !    {'type': 'ORG', 'text': dept, 'conf': 0.95::DOUBLE},
+       !    {'type': 'LOC', 'text': gfeat, 'conf': 0.9::DOUBLE}]) AS d
+       !  FROM disc),
+       !agg AS (
+       !  SELECT d['type'] AS type, d['text'] AS text,
+       !    count(DISTINCT did) AS n_docs, round(avg(d['conf']), 4) AS mean_conf
+       !  FROM rows0 GROUP BY 1, 2),
+       !flt AS (SELECT * FROM agg WHERE n_docs >= 2 AND mean_conf >= 0.85)
+       !SELECT DISTINCT
+       !  CASE WHEN type = 'ORG' THEN 'org' WHEN type = 'LOC' THEN 'loc'
+       !   ELSE 'last_name' END AS kind,
+       !  lower(text) AS value,
+       !  'discovered:' || n_docs AS meta
+       !FROM flt ORDER BY kind, value""".stripMargin('!')
 
   /** Office corpus span reconstruction (DocGen.synthesizeOffice →
     * OfficeExtractor): docx = one text span per paragraph; pptx =

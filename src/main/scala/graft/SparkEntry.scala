@@ -148,6 +148,19 @@ object SparkEntry {
     "x_rejects" -> ((s, dir) =>
       extracted(s, dir).filter(!col("success"))
         .select(col("doc_id"), col("error")).orderBy(col("doc_id"))),
+    // E15 gap discovery + its distributed learning aggregation over the
+    // reconstructable modes (disabled in the pipeline by default, like
+    // the reference — exercised here as its own facet)
+    "x_discoveries_core" -> ((s, dir) =>
+      graft.extract.GapDiscovery.discoverAll(
+        extracted(s, dir).filter(d => DocGen.kindOf(d.doc_id) != "pdf_blocks"))
+        .orderBy(col("doc_id"), col("start"))),
+    "x_discovery_learn_core" -> ((s, dir) =>
+      graft.extract.GapDiscovery.learningCandidates(
+        graft.extract.GapDiscovery.discoverAll(
+          extracted(s, dir).filter(d => DocGen.kindOf(d.doc_id) != "pdf_blocks")),
+        threshold = 0.85, minDocs = 2)
+        .orderBy(col("kind"), col("value"))),
     "x_domain_entities" -> ((s, dir) =>
       extracted(s, dir)
         .select(col("doc_id"), explode(col("meta.domain_entities")).as("domain_entity"))
@@ -495,6 +508,8 @@ object SparkEntry {
     // (see OracleSql docSynthCte) — the engine's convert stage is now
     // hash-gated, not rows-only
     "x_rejects" -> OracleSql.xRejects,
+    "x_discoveries_core" -> OracleSql.xDiscoveriesCore,
+    "x_discovery_learn_core" -> OracleSql.xDiscoveryLearnCore,
     "x_office_spans" -> OracleSql.xOfficeSpans,
     "x_classify" -> OracleSql.xClassify,
     "x_domain_entities" -> OracleSql.xDomainEntities,

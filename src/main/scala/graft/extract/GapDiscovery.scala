@@ -99,7 +99,9 @@ object GapDiscovery {
     out.toSeq
   }
 
-  /** Corpus-wide discovery frame: one row per (doc, discovery). */
+  /** Corpus-wide discovery frame: one row per (doc, discovery), with
+    * the discovery's absolute span in the clean text.
+    */
   def discoverAll(extracted: Dataset[ExtractedDoc]): DataFrame = {
     val spark = extracted.sparkSession
     import spark.implicits._
@@ -107,8 +109,8 @@ object GapDiscovery {
       val clean = Core8Extractor.truncate(
         Core8Extractor.cleanFormatting(d.spans.map(_.text).mkString("\n")))
       discover(clean, d.entities).map(x =>
-        (d.doc_id, x.entity_type, x.text, x.confidence, x.pattern))
-    }.toDF("doc_id", "type", "text", "confidence", "pattern")
+        (d.doc_id, x.entity_type, x.text, x.confidence, x.start, x.end, x.pattern))
+    }.toDF("doc_id", "type", "text", "confidence", "start", "end", "pattern")
   }
 
   /** The distributed learning step: discoveries seen in >= minDocs

@@ -230,8 +230,23 @@ object DocGen {
 
   // ----------------------------------------------------------------- text
 
+  /** E15 exercise sentence (text mode only): proper nouns that none of
+    * the Core-8 extractors claim (unknown surname behind a dot-free
+    * title → person confidence 0.3 < 0.7; leading-cue agency name the
+    * suffix-walk cannot reach; un-gazetteered "X Valley") but that the
+    * gap-discovery patterns match — so the sentence survives as a GAP
+    * sentence with three deterministic discoveries. Names are invented
+    * and collide with no gazetteer, keyword, stoplist, or entity value.
+    */
+  private[sources] def discoverySentence(id: Long): String = {
+    val sur = Seq("Wexford", "Tarlow", "Quimby", "Ashford")((id % 4).toInt)
+    val dept = Seq("Harborview", "Glenfield", "Marwick", "Ostrander")(((id / 4) % 4).toInt)
+    val valley = Seq("Pinecrest", "Eastbrook", "Larkspur", "Dunmore", "Hollybrook")(((id / 10) % 5).toInt)
+    s"President $sur of the Department of $dept visited $valley Valley."
+  }
+
   private def synthText(id: Long, text: String): RawDoc = {
-    val body = (sentences(text) ++ entitySentences(id)).mkString(" ")
+    val body = (sentences(text) ++ entitySentences(id) :+ discoverySentence(id)).mkString(" ")
     RawDoc(s"doc$id", "text", "", Seq.empty, body, body.length.toLong,
       math.max(1, (body.length + 2999) / 3000))
   }
