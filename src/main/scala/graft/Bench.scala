@@ -15,14 +15,19 @@ object Bench {
     // be attributed to whichever query happens to run first
     spark.range(1000).selectExpr("sum(id)").collect()
     try spark.read.parquet(s"$sfDir/nation.parquet").count() catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // timed warm:<family> entries: shared caches (extraction run,
+    // shingles, LSH pairs, dup groups, embedding buckets) materialize
+    // HERE, attributed explicitly — per-query numbers then measure the
+    // query, not whichever one ran first in map order
+    val warm = SparkEntry.warmFamilies(spark, sfDir)
+    val results = warm ++ SparkEntry.queries.toSeq.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

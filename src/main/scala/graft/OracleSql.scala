@@ -1011,6 +1011,48 @@ object OracleSql {
        !ORDER BY doc_id""".stripMargin('!')
   }
 
+  /** A2 relationship-edge oracle over the reconstructable modes: the
+    * injected sentences pin which canonical entities share a sentence
+    * window — (person, phone) from the contact sentence, the
+    * (date, gpe, time) triangle from the scheduling sentence,
+    * (money, regulation) from the penalty sentence and the measurement
+    * pair from the guardrail sentence; the second person mention, OSHA
+    * and the discovery sentence sit alone, contributing no edges. Pair
+    * order is (type, normalized) asc — the measurement pair's meter
+    * norm always starts "0." and the day norm never does, so the meter
+    * side sorts first.
+    */
+  val xEntityEdgesCore: String =
+    s"""WITH $docSynthCte,
+       !nonpdf AS (SELECT * FROM ent WHERE (id % 10 < 5 AND NOT (id % 89 = 34 OR id % 83 = 13)) OR id % 10 >= 8),
+       !vals AS (
+       !  SELECT did,
+       !    (['John','Sarah','Michael','Emily','David','Jane'])[(id % 6 + 1)::INT] || ' ' ||
+       !      (['Smith','Johnson','Garcia','Chen','Patel','Brown'])[((id // 6) % 6 + 1)::INT] AS person,
+       !    '+1555' || (100 + id % 900) || (1000 + id % 9000) AS phone,
+       !    (2020 + id % 6) || '-' || (['01','02','03','04','06','07','08','09','10','11'])[(id % 10 + 1)::INT]
+       !      || '-' || lpad((id % 28 + 1)::VARCHAR, 2, '0') AS n_date,
+       !    (id % 11 + 13) || ':' || (CASE WHEN id % 2 = 0 THEN '30' ELSE '15' END) AS n_time,
+       !    (['Chicago','Houston','Seattle','Boston','Denver','Atlanta'])[(id % 6 + 1)::INT] AS city,
+       !    '$$' || format('{:,}', (id % 90 + 10) * 250) AS money,
+       !    '29 CFR 1926.' || (id % 400 + 100) AS reg,
+       !    round((id % 20 + 20) * 0.0254::DOUBLE, 3)::VARCHAR || '-' || round((id % 20 + 27) * 0.0254::DOUBLE, 3)::VARCHAR || ' m' AS meters,
+       !    (id % 90 + 1) || ' days' AS days
+       !  FROM nonpdf),
+       !edges AS (
+       !  SELECT did, unnest([
+       !    {'ta': 'PERSON', 'na': person, 'tb': 'PHONE', 'nb': phone},
+       !    {'ta': 'DATE', 'na': n_date, 'tb': 'GPE', 'nb': city},
+       !    {'ta': 'DATE', 'na': n_date, 'tb': 'TIME', 'nb': n_time},
+       !    {'ta': 'GPE', 'na': city, 'tb': 'TIME', 'nb': n_time},
+       !    {'ta': 'MONEY', 'na': money, 'tb': 'REGULATION', 'nb': reg},
+       !    {'ta': 'MEASUREMENT', 'na': meters, 'tb': 'MEASUREMENT', 'nb': days}]) AS e
+       !  FROM vals)
+       !SELECT e['ta'] AS type_a, e['na'] AS norm_a, e['tb'] AS type_b, e['nb'] AS norm_b,
+       !  count(DISTINCT did)::BIGINT AS n_docs
+       !FROM edges GROUP BY 1, 2, 3, 4
+       !ORDER BY 1, 2, 3, 4""".stripMargin('!')
+
   /** E15 gap-discovery oracle: text-mode docs carry the injected
     * discovery sentence (DocGen.discoverySentence) — its three proper
     * nouns are invisible to Core-8 (unknown surname, leading-cue
@@ -1073,6 +1115,97 @@ object OracleSql {
        !  lower(text) AS value,
        !  'discovered:' || n_docs AS meta
        !FROM flt ORDER BY kind, value""".stripMargin('!')
+
+  /** Office-corpus CLEAN text (span texts joined by \n, heading-prefix
+    * strip applied): every office mode is chunk-free, so the Core-8
+    * input is exactly reconstructable — the basis of the office entity
+    * and fact facets below.
+    */
+  private val officeCleanCte: String =
+    """oclean AS (
+      !  SELECT did, id,
+      !    CASE (id % 3)::INT
+      !    WHEN 0 THEN expanded || chr(10) || s1 || chr(10) || s2 || chr(10) || s3
+      !      || chr(10) || s4 || chr(10) || s5 || chr(10) || s6
+      !    WHEN 1 THEN 'Slide 1' || chr(10) || expanded || chr(10) || s1 || chr(10) || s2
+      !      || chr(10) || 'Slide 2' || chr(10) || s3 || chr(10) || s4 || chr(10) || s5
+      !    ELSE '=== Data ===' || chr(10) || '0 | ' || expanded || chr(10) || '1 | ' || s1
+      !      || chr(10) || '2 | ' || s2 || chr(10) || '3 | ' || s3 || chr(10) || '4 | ' || s4
+      !      || chr(10) || '5 | ' || s5
+      !    END AS clean
+      !  FROM ent)""".stripMargin('!')
+
+  /** Office-corpus entity oracle: the same injected entity values as the
+    * main corpus (docx docs are the id % 3 = 0 slice, so exactly they
+    * carry the safety sentence's OSHA), with offsets re-derived by
+    * strpos over the office clean text — each value occurs exactly once.
+    */
+  val xOfficeEntities: String =
+    s"""WITH $docSynthCte,
+       !$officeCleanCte,
+       !vals AS (
+       !  SELECT o.did, o.id, o.clean,
+       !    (['John','Sarah','Michael','Emily','David','Jane'])[(o.id % 6 + 1)::INT] || ' ' ||
+       !      (['Smith','Johnson','Garcia','Chen','Patel','Brown'])[((o.id // 6) % 6 + 1)::INT] AS v_person,
+       !    '(555) ' || (100 + o.id % 900) || '-' || (1000 + o.id % 9000) AS v_phone,
+       !    (['January','February','March','April','June','July','August','September','October','November'])[(o.id % 10 + 1)::INT]
+       !      || ' ' || (o.id % 28 + 1) || ', ' || (2020 + o.id % 6) AS v_date,
+       !    (o.id % 11 + 1) || ':' || (CASE WHEN o.id % 2 = 0 THEN '30' ELSE '15' END) || ' PM' AS v_time,
+       !    (['Chicago','Houston','Seattle','Boston','Denver','Atlanta'])[(o.id % 6 + 1)::INT] AS v_gpe,
+       !    '$$' || format('{:,}', (o.id % 90 + 10) * 250) AS v_money,
+       !    '29 CFR 1926.' || (o.id % 400 + 100) AS v_reg,
+       !    (o.id % 20 + 20) || '-' || (o.id % 20 + 27) || ' inches' AS v_meas1,
+       !    (o.id % 90 + 1) || ' days' AS v_meas2,
+       !    'Mr. ' || (['Smith','Johnson','Garcia','Chen','Patel','Brown'])[((o.id // 6) % 6 + 1)::INT] AS v_person2
+       !  FROM oclean o),
+       !ents AS (
+       !  SELECT did, clean,
+       !    unnest([
+       !      {'type': 'PERSON', 'value': v_person},
+       !      {'type': 'PHONE', 'value': v_phone},
+       !      {'type': 'DATE', 'value': v_date},
+       !      {'type': 'TIME', 'value': v_time},
+       !      {'type': 'GPE', 'value': v_gpe},
+       !      {'type': 'MONEY', 'value': v_money},
+       !      {'type': 'REGULATION', 'value': v_reg},
+       !      {'type': 'MEASUREMENT', 'value': v_meas1},
+       !      {'type': 'MEASUREMENT', 'value': v_meas2},
+       !      {'type': 'PERSON', 'value': v_person2}] ||
+       !      CASE WHEN id % 3 = 0 THEN [{'type': 'GPE', 'value': 'OSHA'}] ELSE [] END) AS e
+       !  FROM vals)
+       !SELECT did AS doc_id, e['type'] AS type, e['value'] AS value,
+       !  (strpos(clean, e['value']) - 1)::INTEGER AS start,
+       !  (strpos(clean, e['value']) - 1 + length(e['value']))::INTEGER AS "end"
+       !FROM ents
+       !ORDER BY doc_id, start, type""".stripMargin('!')
+
+  /** Office-corpus SPO fact oracle: every office doc carries s3/s4, so
+    * the four template facts hold for the whole corpus.
+    */
+  val xOfficeFacts: String =
+    s"""WITH $docSynthCte,
+       !facts AS (
+       !  SELECT did, id, unnest([
+       !    {'fact_type': 'financial_impact', 'subject': 'penalty', 'predicate': 'HAS_AMOUNT',
+       !     'obj': '$$' || format('{:,}', (id % 90 + 10) * 250),
+       !     'confidence': 0.8, 'actionable': false},
+       !    {'fact_type': 'regulation_citation', 'subject': 'Regulation', 'predicate': 'CITES',
+       !     'obj': '29 CFR 1926.' || (id % 400 + 100) || '.',
+       !     'confidence': 0.9, 'actionable': false},
+       !    {'fact_type': 'requirement',
+       !     'subject': 'Guardrails must measure ' || (id % 20 + 20) || '-' || (id % 20 + 27)
+       !       || ' inches and reports',
+       !     'predicate': 'REQUIRED_TO',
+       !     'obj': 'filed within ' || (id % 90 + 1) || ' days',
+       !     'confidence': 0.9, 'actionable': true},
+       !    {'fact_type': 'time_requirement', 'subject': 'Time Requirement', 'predicate': 'HAS_VALUE',
+       !     'obj': (id % 90 + 1) || ' days',
+       !     'confidence': 0.9, 'actionable': true}]) AS f
+       !  FROM ent)
+       !SELECT did AS doc_id, f['fact_type'] AS fact_type, f['subject'] AS subject,
+       !  f['predicate'] AS predicate, f['obj'] AS object,
+       !  f['confidence'] AS confidence, f['actionable'] AS actionable
+       !FROM facts ORDER BY doc_id, fact_type""".stripMargin('!')
 
   /** Office corpus span reconstruction (DocGen.synthesizeOffice →
     * OfficeExtractor): docx = one text span per paragraph; pptx =

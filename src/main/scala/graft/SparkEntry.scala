@@ -77,12 +77,52 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     spansOf(extracted(spark, "/root/testdata/sf0.001"))
 
+  /** Timed materialization of every cross-query shared cache, in
+    * dependency order. Bench runs these FIRST and reports them as
+    * explicit `warm:<family>` entries: the shared materialization cost
+    * stays visible in the total but is no longer attributed to
+    * whichever family query happens to run first in map order — that
+    * attribution made per-query BENCH deltas incomparable across
+    * rounds. Failures are reported as -1, like query failures.
+    */
+  def warmFamilies(s: SparkSession, dir: String): Seq[(String, Double)] = {
+    def timed(name: String)(f: => Unit): (String, Double) = {
+      val t0 = System.nanoTime()
+      val ok = try { f; true } catch { case _: Throwable => false }
+      (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    }
+    Seq(
+      timed("warm:extract") { extracted(s, dir).count() },
+      timed("warm:office") { officeExtracted(s, dir).count() },
+      timed("warm:shingles") { graft.textops.TextOps.shingles(s, dir).count() },
+      timed("warm:ngram_pairs") { graft.textops.TextOps.ngramJaccard(s, dir, 0.2).count() },
+      timed("warm:lsh_pairs") { graft.textops.TextOps.minhashLsh(s, dir, 0.5).count() },
+      timed("warm:dup_groups") { graft.textops.TextOps.dupGroups(s, dir).count() },
+      timed("warm:emb_buckets") { graft.sim.Similarity.lshBuckets(s, dir).count() },
+      timed("warm:emb_pairs") { graft.sim.Similarity.embeddingDedup(s, dir, 0.40).count() },
+      timed("warm:emb_groups") { graft.sim.Similarity.embeddingGroups(s, dir, 0.40).count() })
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- extraction engine (rows-only checks; golden specs in sbt test)
     "x_html_spans" -> ((s, dir) => spansOf(extractedOfKind(s, dir, "html"))),
     "x_pdf_spans" -> ((s, dir) => spansOf(extractedOfKind(s, dir, "pdf_blocks"))),
     "x_text_spans" -> ((s, dir) => spansOf(extractedOfKind(s, dir, "text"))),
     "x_office_spans" -> ((s, dir) => spansOf(officeExtracted(s, dir))),
+    // office corpus is chunk-free, so its downstream stages are exactly
+    // reconstructable too — entity and fact hash-gates over the same run
+    "x_office_entities" -> ((s, dir) =>
+      officeExtracted(s, dir).select(col("doc_id"), explode(col("entities")).as("e"))
+        .select(col("doc_id"), col("e.type").as("type"), col("e.value").as("value"),
+          col("e.start").as("start"), col("e.end").as("end"))
+        .orderBy(col("doc_id"), col("start"), col("type"))),
+    "x_office_facts" -> ((s, dir) =>
+      officeExtracted(s, dir).select(col("doc_id"), explode(col("facts")).as("f"))
+        .select(col("doc_id"), col("f.fact_type").as("fact_type"),
+          col("f.subject").as("subject"), col("f.predicate").as("predicate"),
+          col("f.object").as("object"), col("f.confidence").as("confidence"),
+          col("f.actionable").as("actionable"))
+        .orderBy(col("doc_id"), col("fact_type"))),
     "x_content_flags" -> ((s, dir) =>
       extracted(s, dir).select(col("doc_id"), col("meta.content_detection.*"))
         .orderBy(col("doc_id"))),
@@ -119,6 +159,13 @@ object SparkEntry {
     // reconstructable modes (see x_canonical_core)
     "x_global_core" -> ((s, dir) =>
       graft.normalize.CorpusCanonical.globalEntities(
+        extracted(s, dir).filter(d => DocGen.kindOf(d.doc_id) != "pdf_blocks"))),
+    // A2 mention-context half: sentence-window co-occurrence edges
+    // between canonical entities, corpus-aggregated (EntityEdges)
+    "x_entity_edges" -> ((s, dir) =>
+      graft.normalize.EntityEdges.edges(extracted(s, dir))),
+    "x_entity_edges_core" -> ((s, dir) =>
+      graft.normalize.EntityEdges.edges(
         extracted(s, dir).filter(d => DocGen.kindOf(d.doc_id) != "pdf_blocks"))),
     // normalization hash-gate over the reconstructable modes
     "x_canonical_core" -> ((s, dir) =>
@@ -509,8 +556,11 @@ object SparkEntry {
     // hash-gated, not rows-only
     "x_rejects" -> OracleSql.xRejects,
     "x_discoveries_core" -> OracleSql.xDiscoveriesCore,
+    "x_entity_edges_core" -> OracleSql.xEntityEdgesCore,
     "x_discovery_learn_core" -> OracleSql.xDiscoveryLearnCore,
     "x_office_spans" -> OracleSql.xOfficeSpans,
+    "x_office_entities" -> OracleSql.xOfficeEntities,
+    "x_office_facts" -> OracleSql.xOfficeFacts,
     "x_classify" -> OracleSql.xClassify,
     "x_domain_entities" -> OracleSql.xDomainEntities,
     "x_entities_core" -> OracleSql.xEntitiesCore,

@@ -1,0 +1,53 @@
+package graft.normalize
+
+import graft.extract.Core8Extractor
+import graft.model.ExtractedDoc
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** A2's mention-context half (reference
+  * `utils/entity_disambiguator.py:44-560`: context-window extraction per
+  * mention + cross-entity relationship extraction — which the reference
+  * only ever runs per document): canonical entities that co-occur inside
+  * one SENTENCE window form a relationship edge, and the corpus-level
+  * edge table aggregates those per-document edges.
+  *
+  * Distributed shape mirrors CorpusCanonical: the per-doc pairing is a
+  * flatMap (document-local — sentence splitting and mention-overlap
+  * tests never leave the partition), and the corpus step is ONE groupBy
+  * shuffle on the edge key, vocabulary-bounded (edges are pairs of
+  * canonical forms, ≪ corpus size), with map-side partial aggregation.
+  */
+object EntityEdges {
+
+  /** Corpus-level co-occurrence edge table:
+    * (type_a, norm_a, type_b, norm_b, n_docs), pair ordered by
+    * (type, normalized) so each undirected edge has one canonical row.
+    */
+  def edges(extracted: Dataset[ExtractedDoc]): DataFrame = {
+    val spark = extracted.sparkSession
+    import spark.implicits._
+    extracted.flatMap { d =>
+      val clean = Core8Extractor.truncate(
+        Core8Extractor.cleanFormatting(d.spans.map(_.text).mkString("\n")))
+      val sents = Core8Extractor.splitSentences(clean)
+      // a canonical entity sits in a sentence iff any of its mentions
+      // overlaps the sentence span
+      val perSentence = sents.zipWithIndex.map { case ((s, start), si) =>
+        val end = start + s.length
+        si -> d.canonical_entities
+          .filter(c => c.mentions.exists(m => m.start < end && start < m.end))
+          .map(c => (c.`type`, c.normalized)).distinct.sorted
+      }
+      perSentence.flatMap { case (_, ents) =>
+        for {
+          i <- ents.indices
+          j <- (i + 1) until ents.length
+        } yield (d.doc_id, ents(i)._1, ents(i)._2, ents(j)._1, ents(j)._2)
+      }.distinct
+    }.toDF("doc_id", "type_a", "norm_a", "type_b", "norm_b")
+      .groupBy("type_a", "norm_a", "type_b", "norm_b")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy("type_a", "norm_a", "type_b", "norm_b")
+  }
+}

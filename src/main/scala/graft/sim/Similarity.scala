@@ -177,9 +177,9 @@ object Similarity {
 
   def embeddingDedup(s: SparkSession, dir: String, threshold: Double = 0.40): DataFrame =
     dedupPairCache.getOrElseUpdate(s, s"$dir#$threshold") {
-      val df = embeddingDedupUncached(s, dir, threshold)
-      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      df
+      // localCheckpoint: truncate the bucket/cosine lineage so consumer
+      // plans (t9 dump, s5 components) stay leaf-sized
+      embeddingDedupUncached(s, dir, threshold).localCheckpoint()
     }
 
   /** Max vectors per sign-LSH bucket for the dedup pair join — the
@@ -227,15 +227,20 @@ object Similarity {
   /** s5: embedding near-dup GROUPS — connected components over the
     * cosine-verified pairs (same pointer-doubling loop as the text-side
     * t10), one keeper id per cluster of same-content embeddings.
+    * Memoized per (session, dir, threshold) like dupGroups.
     */
-  def embeddingGroups(s: SparkSession, dir: String, threshold: Double = 0.40): DataFrame = {
-    val pairs = embeddingDedup(s, dir, threshold).select(col("a"), col("b"))
-    val comp = graft.textops.TextOps.connectedComponents(pairs)
-    val sizes = comp.groupBy(col("label")).agg(count(lit(1)).as("group_size"))
-    comp.join(sizes, "label")
-      .select(col("doc_id").as("vec_id"), col("label").as("group_id"), col("group_size"))
-      .orderBy("vec_id")
-  }
+  private val embGroupCache = new graft.util.SessionCache[DataFrame]
+
+  def embeddingGroups(s: SparkSession, dir: String, threshold: Double = 0.40): DataFrame =
+    embGroupCache.getOrElseUpdate(s, s"$dir#$threshold") {
+      val pairs = embeddingDedup(s, dir, threshold).select(col("a"), col("b"))
+      val comp = graft.textops.TextOps.connectedComponents(pairs)
+      val sizes = comp.groupBy(col("label")).agg(count(lit(1)).as("group_size"))
+      comp.join(sizes, "label")
+        .select(col("doc_id").as("vec_id"), col("label").as("group_id"), col("group_size"))
+        .orderBy("vec_id")
+        .localCheckpoint()
+    }
 
   /** Mixed-type cosine (float[] column vs literal double[] centroid) as
     * Column-API higher-order functions — the exact same sequential left

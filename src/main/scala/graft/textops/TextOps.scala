@@ -160,9 +160,11 @@ object TextOps {
 
   def ngramJaccard(s: SparkSession, dir: String, threshold: Double = 0.2): DataFrame =
     ngramPairCache.getOrElseUpdate(s, s"$dir#$threshold") {
-      val df = ngramJaccardUncached(s, dir, threshold)
-      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      df
+      // localCheckpoint, not persist: the pair frame is tiny but its
+      // logical tree is the whole shingle pipeline — a persist keeps
+      // that tree in every consumer's plan and the optimizer re-walks
+      // it per action (measured seconds per action at sf0.1)
+      ngramJaccardUncached(s, dir, threshold).localCheckpoint()
     }
 
   private def ngramJaccardUncached(s: SparkSession, dir: String, threshold: Double): DataFrame = {
@@ -246,9 +248,9 @@ object TextOps {
 
   def minhashLsh(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame =
     lshPairCache.getOrElseUpdate(s, s"$dir#$threshold") {
-      val df = minhashLshUncached(s, dir, threshold)
-      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      df
+      // localCheckpoint for the same lineage-truncation reason as
+      // ngramJaccard above
+      minhashLshUncached(s, dir, threshold).localCheckpoint()
     }
 
   private def minhashLshUncached(s: SparkSession, dir: String, threshold: Double): DataFrame = {
@@ -317,12 +319,31 @@ object TextOps {
     * only a changed-count.
     */
   def connectedComponents(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
     val p = 8
+    // the loop's frames are pair-set-sized (LSH-bounded), so EVERY
+    // exchange in the round — the groupBy and join shuffles, not just
+    // the explicit repartitions — should run at the small fixed width,
+    // not the session-wide shuffle width: at 32 session partitions the
+    // per-round cost is ~6× pure task scheduling. Restored afterwards.
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", p.toString)
+    try connectedComponentsAt(pairs, p)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
+  private def connectedComponentsAt(pairs: DataFrame, p: Int): DataFrame = {
+    // localCheckpoint, NOT cache: a cache keeps the upstream LOGICAL
+    // plan (for t10 that is the entire shingle→signature→band→verify
+    // tree) inside every round's query tree, and the analyzer/optimizer
+    // re-walks it on every action — measured at seconds per round at
+    // sf0.1. Checkpointing replaces it with a leaf RDD scan, so each
+    // round plans over two tiny leaves.
     val edges = pairs.select(col("a"), col("b"))
       .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
       .distinct()
-      .repartition(p, col("a"))
-      .cache()
+      .repartition(p, col("b"))
+      .localCheckpoint()
     // localCheckpoint (not cache+unpersist): each round's labels must
     // TRUNCATE lineage — unpersisting the previous round's frame would
     // invalidate every dependent cached plan (Spark re-caches by plan)
@@ -339,10 +360,16 @@ object TextOps {
         .join(labels.withColumnRenamed("doc_id", "b").withColumnRenamed("label", "nl"), "b")
         .groupBy(col("a").as("doc_id"))
         .agg(min(col("nl")).as("nmin"))
+      // persisted (never unpersisted — bounded by O(log n) tiny frames
+      // per run; unpersist mid-loop invalidates dependent cached plans):
+      // the pointer-doubling self-join below reads stepped TWICE, and
+      // without materialization each side recomputes the whole
+      // neighbor-min join chain
       val stepped = labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
           (coalesce(col("nmin"), col("label")) < col("label")).as("chg1"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // pointer doubling: label := label(label) — labels always point at
       // graph vertices, every vertex has a row, so the self-join is total.
       // The change flag rides INSIDE the materialized frame: convergence
@@ -381,11 +408,10 @@ object TextOps {
       val pairs = minhashLsh(s, dir, threshold).select("a", "b")
       val comp = connectedComponents(pairs)
       val sizes = comp.groupBy(col("label")).agg(count(lit(1)).as("group_size"))
-      val df = comp.join(sizes, "label")
+      comp.join(sizes, "label")
         .select(col("doc_id"), col("label").as("group_id"), col("group_size"))
         .orderBy("doc_id")
-      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      df
+        .localCheckpoint()
     }
 
   // --------------------------------------------------------- lsh recall
@@ -408,10 +434,17 @@ object TextOps {
       .join(keepers.withColumnRenamed("doc_id", "b"), Seq("b"), "left_semi")
       .select("a", "b")
     val lsh = minhashLsh(s, dir, threshold).select("a", "b")
-    val hits = truth.join(lsh, Seq("a", "b"))
-    val nTruth = truth.count()
-    val nLsh = lsh.count()
-    val nHits = hits.count()
+    // one outer join + one aggregation = ONE action for all three
+    // counts (r2 ran three separate count() jobs, each re-planning the
+    // keeper joins)
+    val agg = truth.withColumn("in_t", lit(1))
+      .join(lsh.withColumn("in_l", lit(1)), Seq("a", "b"), "full_outer")
+      .agg(
+        coalesce(sum(col("in_t")), lit(0L)).as("nt"),
+        coalesce(sum(col("in_l")), lit(0L)).as("nl"),
+        coalesce(sum(when(col("in_t").isNotNull && col("in_l").isNotNull, 1L)), lit(0L)).as("nh"))
+      .head()
+    val (nTruth, nLsh, nHits) = (agg.getLong(0), agg.getLong(1), agg.getLong(2))
     import s.implicits._
     Seq((nTruth, nLsh, nHits,
       if (nTruth == 0) 1.0 else math.rint(nHits.toDouble / nTruth * 10000) / 10000,
