@@ -63,7 +63,7 @@ object MicroBench {
       val tGpe = time(cleans.foreach(graft.extract.Core8Extractor.extractGpe))
       val tLoc = time(cleans.foreach(graft.extract.Core8Extractor.extractLoc))
       println(f"""{"entity_parts":{"persons":$tPersons%.2f,"orgs":$tOrgs%.2f,"gpe":$tGpe%.2f,"loc":$tLoc%.2f}}""")
-      val tFacts = time(cleans.foreach(graft.facts.SpoExtractor.extract))
+      val tFacts = time(cleans.foreach(c => graft.facts.SpoExtractor.extract(c)))
       println(f"""{"stage_times_8k_docs":{"convert":$tConvert%.2f,"flags":$tFlags%.2f,"classify":$tClassify%.2f,"clean":$tClean%.2f,"entities":$tEntities%.2f,"normalize":$tNormalize%.2f,"facts":$tFacts%.2f}}""")
     }
 

@@ -16,13 +16,49 @@ object SpoExtractor {
 
   val QualityThreshold = 0.75
 
-  private def P(s: String) = java.util.regex.Pattern.compile(s)
+  /** X3: one CONFIG row of the pattern table — plain data (regex as a
+    * string), broadcast-safe, loadable from a config table the way
+    * CorpusTable loads gazetteers (`spo_pattern_loader.py` semantics:
+    * composable pattern components shipped as data, not code).
+    * `triggers` is a CNF keyword gate (each clause needs >= 1 lowercase
+    * substring hit) — the reference's own short-circuit idiom (CFR
+    * gate, `service_processor.py:991`): the regex cannot match unless
+    * every clause is present, so gated sentences skip the regex
+    * entirely. subjectGroup -1 = fixed subject from the fact type.
+    */
+  final case class SpoPatternConfig(
+      name: String,
+      regex: String,
+      factType: String,
+      predicate: String,
+      base: Double,
+      actionable: Boolean,
+      subjectGroup: Int,
+      objectGroup: Int,
+      triggers: Seq[Seq[String]])
 
-  // pattern, fact_type, predicate, baseConfidence, actionable.
-  // `triggers` is a CNF keyword gate (each clause needs >= 1 lowercase
-  // substring hit) — the reference's own short-circuit idiom (CFR gate,
-  // `service_processor.py:991`): the regex cannot match unless every
-  // clause is present, so gated sentences skip the regex entirely.
+  /** A versioned pattern set — the unit that gets broadcast/installed. */
+  final case class SpoPatternSet(version: String, patterns: Seq[SpoPatternConfig])
+
+  /** Trigger-clause wire format for config tables: clauses joined by
+    * ';', alternatives by '|' ("fine|penalt;$" = (fine OR penalt) AND $).
+    */
+  def parseTriggers(s: String): Seq[Seq[String]] =
+    s.split(";", -1).toSeq.filter(_.nonEmpty).map(_.split("\\|", -1).toSeq.filter(_.nonEmpty))
+
+  /** Load a pattern set from plain config rows
+    * (name, regex, fact_type, predicate, base, actionable,
+    * subject_group, object_group, triggers) — the table-shipped twin of
+    * CorpusTable.fromRows.
+    */
+  def fromRows(version: String,
+      rows: Seq[(String, String, String, String, Double, Boolean, Int, Int, String)]): SpoPatternSet =
+    SpoPatternSet(version, rows.map { case (n, rx, ft, pr, b, a, sg, og, tr) =>
+      SpoPatternConfig(n, rx, ft, pr, b, a, sg, og, parseTriggers(tr))
+    })
+
+  // compiled form, cached per JVM keyed by set version (executors
+  // compile a broadcast set once, not per task)
   private final case class FactPattern(
       rx: java.util.regex.Pattern,
       factType: String,
@@ -33,43 +69,57 @@ object SpoExtractor {
       objectGroup: Int,
       triggers: Seq[Seq[String]])
 
-  private val patterns: Seq[FactPattern] = Seq(
+  private val compiledCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[FactPattern]]
+
+  private def compiled(set: SpoPatternSet): Seq[FactPattern] =
+    compiledCache.getOrElseUpdate(set.version, {
+      if (compiledCache.size > 8) compiledCache.clear() // bound test churn
+      set.patterns.map(c => FactPattern(
+        java.util.regex.Pattern.compile(c.regex), c.factType, c.predicate,
+        c.base, c.actionable, c.subjectGroup, c.objectGroup, c.triggers))
+    })
+
+  /** The built-in set: the DocTest-fixture semantics, now expressed as
+    * the default CONFIG rather than compiled-in behavior.
+    */
+  val defaultPatterns: SpoPatternSet = SpoPatternSet("builtin", Seq(
     // "X shall/must be completed on or before DATE" (FIXTURES F1)
-    FactPattern(
-      P("(?i)\\b([A-Z][\\w ,'-]{2,60}?)\\s+(?:shall|must)\\s+be\\s+([\\w ,'-]{3,160}?)(?:\\.|$|;)"),
+    SpoPatternConfig("modal_be",
+      "(?i)\\b([A-Z][\\w ,'-]{2,60}?)\\s+(?:shall|must)\\s+be\\s+([\\w ,'-]{3,160}?)(?:\\.|$|;)",
       "requirement", "REQUIRED_TO", 0.8, actionable = true, 1, 2, Seq(Seq("shall", "must"))),
     // "X shall/must VERB ..." (modal requirement)
-    FactPattern(
-      P("(?i)\\b([A-Z][\\w ,'-]{2,60}?)\\s+(?:shall|must)\\s+((?!be\\b)[\\w ,'-]{3,160}?)(?:\\.|$|;)"),
+    SpoPatternConfig("modal_verb",
+      "(?i)\\b([A-Z][\\w ,'-]{2,60}?)\\s+(?:shall|must)\\s+((?!be\\b)[\\w ,'-]{3,160}?)(?:\\.|$|;)",
       "requirement", "MUST", 0.78, actionable = true, 1, 2, Seq(Seq("shall", "must"))),
     // "X should ..." (weaker modal)
-    FactPattern(
-      P("(?i)\\b([A-Z][\\w ,'-]{2,60}?)\\s+should\\s+([\\w ,'-]{3,160}?)(?:\\.|$|;)"),
+    SpoPatternConfig("modal_should",
+      "(?i)\\b([A-Z][\\w ,'-]{2,60}?)\\s+should\\s+([\\w ,'-]{3,160}?)(?:\\.|$|;)",
       "recommendation", "SHOULD", 0.7, actionable = true, 1, 2, Seq(Seq("should"))),
     // "within 30 days" (FIXTURES F2)
-    FactPattern(
-      P("(?i)within\\s+(\\d+\\s+(?:days?|hours?|weeks?|months?|years?|business days?))"),
+    SpoPatternConfig("time_within",
+      "(?i)within\\s+(\\d+\\s+(?:days?|hours?|weeks?|months?|years?|business days?))",
       "time_requirement", "HAS_VALUE", 0.8, actionable = true, -1, 1, Seq(Seq("within"))),
     // financial impact: "a fine of $X" / "cost(s) $X" / "penalty of $X"
-    FactPattern(
-      P("(?i)\\b(fine|penalty|cost|fee|budget|damages)s?\\s+(?:of|up to|totaling|exceeding)?\\s*([$€£]\\s?[\\d,.]+(?:\\s?(?:k|m|b|million|billion|thousand))?)"),
+    SpoPatternConfig("financial",
+      "(?i)\\b(fine|penalty|cost|fee|budget|damages)s?\\s+(?:of|up to|totaling|exceeding)?\\s*([$€£]\\s?[\\d,.]+(?:\\s?(?:k|m|b|million|billion|thousand))?)",
       "financial_impact", "HAS_AMOUNT", 0.8, actionable = false, 1, 2, Seq(Seq("fine", "penalt", "cost", "fee", "budget", "damage"), Seq("$", "\u20ac", "\u00a3"))),
     // regulation citation: "in accordance with / pursuant to / under <reg>"
-    FactPattern(
-      P("(?i)(?:in accordance with|pursuant to|as required by|under)\\s+(\\d+\\s+(?:CFR|USC)\\s*§?\\s*[\\d.]+(?:\\([a-z0-9]+\\))*)"),
+    SpoPatternConfig("reg_citation",
+      "(?i)(?:in accordance with|pursuant to|as required by|under)\\s+(\\d+\\s+(?:CFR|USC)\\s*§?\\s*[\\d.]+(?:\\([a-z0-9]+\\))*)",
       "regulation_citation", "CITES", 0.85, actionable = false, -1, 1, Seq(Seq("cfr", "usc"))),
     // "X is responsible for Y"
-    FactPattern(
-      P("(?i)\\b([A-Z][\\w ,'-]{2,60}?)\\s+(?:is|are)\\s+responsible\\s+for\\s+([\\w ,'-]{3,160}?)(?:\\.|$|;)"),
+    SpoPatternConfig("responsibility",
+      "(?i)\\b([A-Z][\\w ,'-]{2,60}?)\\s+(?:is|are)\\s+responsible\\s+for\\s+([\\w ,'-]{3,160}?)(?:\\.|$|;)",
       "responsibility", "RESPONSIBLE_FOR", 0.8, actionable = true, 1, 2, Seq(Seq("responsible"))),
     // "X requires Y"
-    FactPattern(
-      P("(?i)\\b([A-Z][\\w ,'-]{2,60}?)\\s+requires?\\s+([\\w ,'-]{3,160}?)(?:\\.|$|;)"),
+    SpoPatternConfig("requires",
+      "(?i)\\b([A-Z][\\w ,'-]{2,60}?)\\s+requires?\\s+([\\w ,'-]{3,160}?)(?:\\.|$|;)",
       "requirement", "REQUIRES", 0.76, actionable = true, 1, 2, Seq(Seq("require"))),
     // "X was/were VERBed by Y" (passive action)
-    FactPattern(
-      P("(?i)\\b([A-Z][\\w ,'-]{2,60}?)\\s+(?:was|were)\\s+(approved|rejected|completed|issued|filed|submitted|inspected|reviewed)\\s+by\\s+([\\w ,'.-]{3,60}?)(?:\\.|$|;)"),
-      "action", "ACTED_ON_BY", 0.77, actionable = false, 1, 3, Seq(Seq("was", "were"), Seq(" by"))))
+    SpoPatternConfig("passive_action",
+      "(?i)\\b([A-Z][\\w ,'-]{2,60}?)\\s+(?:was|were)\\s+(approved|rejected|completed|issued|filed|submitted|inspected|reviewed)\\s+by\\s+([\\w ,'.-]{3,60}?)(?:\\.|$|;)",
+      "action", "ACTED_ON_BY", 0.77, actionable = false, 1, 3, Seq(Seq("was", "were"), Seq(" by")))))
 
   /** Quality gate mirroring `_is_high_quality_fact`: complete thought
     * (ends at sentence-ish boundary), informative lengths, not all
@@ -88,17 +138,20 @@ object SpoExtractor {
     s.trim.stripSuffix(",").stripSuffix(";").trim
 
   /** Extract facts from clean (normalized) markdown. Context = the
-    * containing sentence; span = match offsets in the clean text.
+    * containing sentence; span = match offsets in the clean text. The
+    * pattern table is DATA (broadcast a non-default SpoPatternSet to
+    * change fact coverage without recompiling); compiled per JVM.
     */
-  def extract(cleanText: String): Seq[Fact] = {
+  def extract(cleanText: String, patternSet: SpoPatternSet = defaultPatterns): Seq[Fact] = {
     val sentences = Core8Extractor.splitSentences(cleanText)
+    val pats = compiled(patternSet)
     val out = new ArrayBuffer[Fact]
     sentences.foreach { case (sentence, sentStart) =>
       // the gate string folds ALL whitespace to plain spaces: sentences
       // keep single newlines, and a trigger like " by" must fire on
       // "approved\nby" exactly as the \s+ in the regex it guards does
       val sentLower = sentence.toLowerCase.map(c => if (Character.isWhitespace(c)) ' ' else c)
-      patterns.foreach { fp =>
+      pats.foreach { fp =>
         if (fp.triggers.forall(clause => clause.exists(sentLower.contains))) {
         val m = fp.rx.matcher(sentence)
         while (m.find()) {

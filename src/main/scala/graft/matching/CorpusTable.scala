@@ -46,6 +46,23 @@ object CorpusTable {
     fromRows(version, rows.toIndexedSeq)
   }
 
+  /** Load with a SNAPSHOT-HASH version: md5 over the sorted row triples,
+    * so two loads of identical content share one version (and therefore
+    * one compiled automaton generation per executor JVM), while any
+    * table edit rolls the version and evicts the old automatons.
+    */
+  def loadVersioned(spark: SparkSession, table: DataFrame): CorpusBundle = {
+    val rows = table.select("kind", "value", "meta").collect()
+      .map(r => (r.getString(0), r.getString(1), Option(r.getString(2)).getOrElse("")))
+      .toIndexedSeq
+    val md = java.security.MessageDigest.getInstance("MD5")
+    rows.sorted.foreach { case (k, v, m) =>
+      md.update(s"$k|$v|$m\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    val version = "snap-" + md.digest().map("%02x".format(_)).mkString.take(16)
+    fromRows(version, rows)
+  }
+
   /** Ship a bundle to every executor: broadcast once; the returned hook
     * is called inside mapPartitions (idempotent per JVM per version).
     */
@@ -139,4 +156,34 @@ object CorpusGen {
       b.loc.toSeq.sorted.map { case (v, m) => ("loc", v, m) } ++
       b.orgs.toSeq.sorted.map(("org", _, "seed"))).distinct
   }
+
+  /** A larger derived surname tier reaching `target` patterns: base
+    * names crossed with common prefix/suffix morphology, then base-pair
+    * compounds until the target is met. Deterministic (sorted bases,
+    * fixed iteration order); meta tier "derived2". Purpose: drive the
+    * automaton/broadcast path at the reference's 10^5-name scale — the
+    * 429K foundation files then differ only in the DATA, not the code.
+    */
+  def derivedTierAt(target: Int): Seq[String] = {
+    val b = Corpora.builtIn
+    val bases = (b.lastNames.toSeq ++ extraLastNames ++ extraFirstNames)
+      .filter(n => n.length >= 3 && n.length <= 9).distinct.sorted
+    val prefixes = Seq("", "mc", "o", "fitz", "van", "von", "de", "la")
+    val suffixes = Seq("son", "sen", "berg", "stein", "ford", "wood",
+      "field", "man", "dale", "worth", "ton", "ley", "more", "well", "brook", "shaw")
+    val out = scala.collection.mutable.LinkedHashSet.empty[String]
+    val it1 = for (p <- prefixes.iterator; s <- suffixes.iterator; n <- bases.iterator)
+      yield p + n + s
+    it1.takeWhile(_ => out.size < target).foreach(out += _)
+    if (out.size < target) {
+      val it2 = for (a <- bases.iterator; c <- bases.iterator if a != c)
+        yield a + c
+      it2.takeWhile(_ => out.size < target).foreach(out += _)
+    }
+    out.toSeq
+  }
+
+  /** rows + the scaled derived tier (~`targetDerived` extra surnames). */
+  def rowsAt(targetDerived: Int): Seq[(String, String, String)] =
+    (rows ++ derivedTierAt(targetDerived).map(("last_name", _, "derived2"))).distinct
 }

@@ -138,21 +138,73 @@ object OfficeExtractor {
     Right(toSpans(out.toSeq))
   }
 
-  /** Title pairing assumes workbook.xml sheet order matches numeric
-    * part order — true for the synthesis and for writers that emit
-    * parts in tab order. Full fidelity on reordered workbooks needs the
-    * r:id → xl/_rels/workbook.xml.rels resolution (the openpyxl primary
-    * path's behavior); the reference's own zip fallback skips titles
-    * entirely (`mvp-hyper-core.py:712-778`).
+  /** Per-`<tag …>` values of several attributes at once (aligned by
+    * element; missing attribute → empty string).
+    */
+  private def pairedAttrs(xml: String, tag: String, attrs: Seq[String]): Seq[Seq[String]] = {
+    val out = new ArrayBuffer[Seq[String]]
+    val open = "<" + tag
+    var i = 0
+    while (i < xml.length) {
+      val at = xml.indexOf(open, i)
+      if (at < 0) return out.toSeq
+      val gt = xml.indexOf('>', at)
+      if (gt < 0) return out.toSeq
+      val tagStr = xml.substring(at, gt)
+      val row = attrs.map { attr =>
+        val needle = attr + "=\""
+        val a = tagStr.indexOf(needle)
+        if (a < 0) ""
+        else {
+          val vStart = a + needle.length
+          val vEnd = tagStr.indexOf('"', vStart)
+          if (vEnd > vStart) graft.html.Entities.unescape(tagStr.substring(vStart, vEnd)) else ""
+        }
+      }
+      if (row.exists(_.nonEmpty)) out += row
+      i = gt + 1
+    }
+    out.toSeq
+  }
+
+  /** Sheet titles + order resolved the openpyxl-primary-path way when
+    * the package carries `xl/_rels/workbook.xml.rels`: workbook
+    * `<sheet name r:id>` entries (TAB order) → rels `Id → Target` →
+    * worksheet parts, so a reordered workbook (part numbering ≠ tab
+    * order) still emits sheets in tab order under their own titles.
+    * Packages without the rels part (the synthesis; the reference's own
+    * zip fallback, `mvp-hyper-core.py:712-778`, which skips titles
+    * entirely) fall back to numeric-part-order pairing.
     */
   def extractXlsx(parts: Seq[OfficePart]): Either[String, Seq[Span]] = {
     val sheets = numberedParts(parts, "xl/worksheets/sheet")
     if (sheets.isEmpty) return Left("missing parts: xl/worksheets/sheet*.xml")
-    val names = parts.find(_.name == "xl/workbook.xml")
-      .map(wb => attrValues(wb.xml, "sheet", "name")).getOrElse(Seq.empty)
+    val wb = parts.find(_.name == "xl/workbook.xml")
+    val rels = parts.find(_.name == "xl/_rels/workbook.xml.rels")
+    val resolved: Option[Seq[(OfficePart, String)]] = for {
+      w <- wb
+      r <- rels
+      relMap = pairedAttrs(r.xml, "Relationship", Seq("Id", "Target"))
+        .collect { case Seq(id, tgt) if id.nonEmpty && tgt.nonEmpty =>
+          id -> ("xl/" + tgt.stripPrefix("/xl/").stripPrefix("./"))
+        }.toMap
+      defs = pairedAttrs(w.xml, "sheet", Seq("name", "r:id"))
+        .collect { case Seq(nm, rid) if rid.nonEmpty => (nm, rid) }
+      byName = sheets.map(p => p.name -> p).toMap
+      pairs = defs.flatMap { case (nm, rid) =>
+        relMap.get(rid).flatMap(byName.get).map(p => (p, nm))
+      }
+      // only trust the resolution when it accounts for every sheet part
+      if pairs.length == sheets.length
+    } yield pairs
+    val ordered = resolved.getOrElse {
+      val names = wb.map(w => attrValues(w.xml, "sheet", "name")).getOrElse(Seq.empty)
+      sheets.zipWithIndex.map { case (sheet, idx) =>
+        (sheet, if (idx < names.length) names(idx) else s"Sheet${idx + 1}")
+      }
+    }
     val out = new ArrayBuffer[(String, String)]
-    sheets.zipWithIndex.foreach { case (sheet, idx) =>
-      val title = if (idx < names.length) names(idx) else s"Sheet${idx + 1}"
+    ordered.foreach { case (sheet, title) =>
       out += ((K.Heading, s"=== $title ==="))
       blockTexts(sheet.xml, "row", "t", " | ").filter(_.nonEmpty)
         .foreach(t => out += ((K.Text, t)))

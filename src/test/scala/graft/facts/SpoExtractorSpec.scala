@@ -81,4 +81,24 @@ class SpoExtractorSpec extends AnyFunSuite {
     assert(sm.quality_threshold == 0.75)
     assert(sm.actionable_facts >= 2)
   }
+
+  test("X3: the pattern table is config — swapping the set changes fact coverage") {
+    val text = "The contractor must submit reports. Project Alpha supersedes Project Beta."
+    // default set: modal requirement only, no 'supersedes' coverage
+    val before = SpoExtractor.extract(text)
+    assert(before.exists(_.predicate == "MUST"))
+    assert(!before.exists(_.predicate == "SUPERSEDES"))
+    // config-loaded set (the spo_pattern_loader path): ONLY a new
+    // supersedes pattern, shipped as plain rows
+    val custom = SpoExtractor.fromRows("custom-v1", Seq(
+      ("supersedes", "(?i)\\b([A-Z][\\w ,'-]{2,60}?)\\s+supersedes\\s+([\\w ,'-]{3,160}?)(?:\\.|$|;)",
+        "supersession", "SUPERSEDES", 0.8, true, 1, 2, "supersede")))
+    val after = SpoExtractor.extract(text, custom)
+    assert(after.exists(f => f.predicate == "SUPERSEDES" &&
+      f.subject == "Project Alpha" && f.`object` == "Project Beta"), s"got $after")
+    assert(!after.exists(_.predicate == "MUST"))
+    // trigger wire format: clauses ';', alternatives '|'
+    assert(SpoExtractor.parseTriggers("fine|penalt;$") ===
+      Seq(Seq("fine", "penalt"), Seq("$")))
+  }
 }

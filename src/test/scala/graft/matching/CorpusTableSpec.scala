@@ -89,4 +89,43 @@ class CorpusTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(loaded > baseline, s"recall did not improve: $baseline -> $loaded")
     Corpora.reset()
   }
+
+  test("10^5-pattern tier: parquet round-trip, snapshot version, automaton build + broadcast cost") {
+    import spark.implicits._
+    val target = 100000
+    val rows = CorpusGen.rowsAt(target)
+    assert(rows.length >= target, s"tier too small: ${rows.length}")
+    assert(rows === CorpusGen.rowsAt(target)) // deterministic
+    val dir = java.nio.file.Files.createTempDirectory("corpus-100k").toString
+    rows.toDF("kind", "value", "meta").coalesce(1).write.parquet(s"$dir/corpus.parquet")
+
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val (bundle, tLoad) = timed(
+      CorpusTable.loadVersioned(spark, spark.read.parquet(s"$dir/corpus.parquet")))
+    assert(bundle.version.startsWith("snap-"))
+    assert(bundle.lastNames.size >= target)
+    // identical content -> identical snapshot version (automaton cache reuse)
+    val again = CorpusTable.loadVersioned(spark, spark.read.parquet(s"$dir/corpus.parquet"))
+    assert(again.version === bundle.version)
+
+    // per-executor automaton build over the 10^5 surname tier (the
+    // generic E20 engine the org/gpe/loc automatons use)
+    val key = s"probe.last.${bundle.version}"
+    val (ac, tBuild) = timed(AhoCorasick.cached(key, bundle.lastNames.toSeq.sorted))
+    try {
+      val probeName = CorpusGen.derivedTierAt(1).head
+      val hits = ac.findLongestNonOverlapping(s"report filed by $probeName yesterday")
+      assert(hits.nonEmpty, s"derived name '$probeName' not matched")
+      val (_, tBc) = timed {
+        val bc = spark.sparkContext.broadcast(bundle)
+        bc.value.lastNames.size
+      }
+      info(f"load+hash=$tLoad%.2fs automaton_build=$tBuild%.2fs broadcast=$tBc%.2fs patterns=${bundle.lastNames.size}")
+      // the documented per-executor cost bound: a 10^5-pattern build is
+      // a sub-30s one-time cost per corpus version per JVM
+      assert(tBuild < 30.0, s"automaton build too slow: $tBuild s")
+    } finally AhoCorasick.evict(_ == key)
+  }
 }

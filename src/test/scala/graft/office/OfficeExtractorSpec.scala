@@ -86,4 +86,31 @@ class OfficeExtractorSpec extends AnyFunSuite {
     assert(d2.spans(1).text.startsWith("1 | alpha beta gamma"))
     assert(d2.spans.length === 7) // header + 6 rows
   }
+
+  test("xlsx titles resolve via workbook rels on a reordered workbook (tab order != part order)") {
+    import graft.model.OfficePart
+    // tab order: "Budget" -> sheet2.xml, then "Log" -> sheet1.xml
+    val wb =
+      """<workbook><sheets><sheet name="Budget" sheetId="1" r:id="rId7"/>""" +
+        """<sheet name="Log" sheetId="2" r:id="rId3"/></sheets></workbook>"""
+    val rels =
+      """<Relationships><Relationship Id="rId3" Target="worksheets/sheet1.xml"/>""" +
+        """<Relationship Id="rId7" Target="worksheets/sheet2.xml"/></Relationships>"""
+    def sheet(t: String) =
+      s"""<worksheet><sheetData><row><c t="inlineStr"><is><t>$t</t></is></c></row></sheetData></worksheet>"""
+    val parts = Seq(
+      OfficePart("xl/workbook.xml", wb),
+      OfficePart("xl/_rels/workbook.xml.rels", rels),
+      OfficePart("xl/worksheets/sheet1.xml", sheet("log row")),
+      OfficePart("xl/worksheets/sheet2.xml", sheet("budget row")))
+    val spans = OfficeExtractor.extractXlsx(parts).toOption.get
+    assert(spans.map(_.text) ===
+      Seq("=== Budget ===", "budget row", "=== Log ===", "log row"))
+    // without the rels part the numeric-part-order fallback pairs
+    // titles positionally (the pre-resolution behavior)
+    val noRels = parts.filterNot(_.name.endsWith(".rels"))
+    val fb = OfficeExtractor.extractXlsx(noRels).toOption.get
+    assert(fb.map(_.text) ===
+      Seq("=== Budget ===", "log row", "=== Log ===", "budget row"))
+  }
 }
