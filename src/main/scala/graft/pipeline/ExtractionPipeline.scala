@@ -87,7 +87,10 @@ object ExtractionPipeline {
         case "csv" => Right(graft.sources.CsvText.extract(raw.text))
         case "docx" | "pptx" | "xlsx" =>
           graft.office.OfficeExtractor.extract(raw.content_kind, raw.office_parts)
-        case other => Left(s"unsupported content_kind: $other")
+        // F15 universal fallback: unknown kinds never hard-reject —
+        // text-sample pass-through, else printable-strings harvest,
+        // else a placeholder span (reference last-resort chain)
+        case _ => Right(graft.extract.UniversalFallback.extract(raw.doc_id, raw.text))
       }
       spansOrErr match {
         case Left(err) =>
