@@ -1011,6 +1011,69 @@ object OracleSql {
        !ORDER BY doc_id""".stripMargin('!')
   }
 
+  /** A2 mention-context oracle over the reconstructable modes: every
+    * canonical mention with its ±50-char clean-text windows
+    * (`entity_disambiguator.py` EntityContext) — offsets and snippets
+    * are strpos/substr arithmetic over the reconstructed clean text.
+    */
+  val xMentionContextCore: String =
+    """WITH SYNTH,
+      !$htmlMdCte,
+      !mdq AS (
+      !  SELECT did, id, md FROM hmd
+      !  UNION ALL SELECT did, id, body AS md FROM bodyq WHERE is_text),
+      !cleanq AS MATERIALIZED (
+      !  SELECT did, id,
+      !    regexp_replace(regexp_replace(regexp_replace(replace(replace(md, '**', ''), '`', ''),
+      !      '\*([^*\n]+)\*', '\1', 'g'),
+      !      '(^|\n)#+ +', '\1', 'g'),
+      !      '(^|\n)> +', '\1', 'g') AS clean
+      !  FROM mdq),
+      !vals AS (
+      !  SELECT c.did, c.id, c.clean,
+      !    (['John','Sarah','Michael','Emily','David','Jane'])[(c.id % 6 + 1)::INT] || ' ' ||
+      !      (['Smith','Johnson','Garcia','Chen','Patel','Brown'])[((c.id // 6) % 6 + 1)::INT] AS v_person,
+      !    'Mr. ' || (['Smith','Johnson','Garcia','Chen','Patel','Brown'])[((c.id // 6) % 6 + 1)::INT] AS v_person2,
+      !    '(555) ' || (100 + c.id % 900) || '-' || (1000 + c.id % 9000) AS v_phone,
+      !    '+1555' || (100 + c.id % 900) || (1000 + c.id % 9000) AS n_phone,
+      !    (['January','February','March','April','June','July','August','September','October','November'])[(c.id % 10 + 1)::INT]
+      !      || ' ' || (c.id % 28 + 1) || ', ' || (2020 + c.id % 6) AS v_date,
+      !    (2020 + c.id % 6) || '-' || (['01','02','03','04','06','07','08','09','10','11'])[(c.id % 10 + 1)::INT]
+      !      || '-' || lpad((c.id % 28 + 1)::VARCHAR, 2, '0') AS n_date,
+      !    (c.id % 11 + 1) || ':' || (CASE WHEN c.id % 2 = 0 THEN '30' ELSE '15' END) || ' PM' AS v_time,
+      !    (c.id % 11 + 13) || ':' || (CASE WHEN c.id % 2 = 0 THEN '30' ELSE '15' END) AS n_time,
+      !    (['Chicago','Houston','Seattle','Boston','Denver','Atlanta'])[(c.id % 6 + 1)::INT] AS v_gpe,
+      !    '$' || format('{:,}', (c.id % 90 + 10) * 250) AS v_money,
+      !    '29 CFR 1926.' || (c.id % 400 + 100) AS v_reg,
+      !    (c.id % 20 + 20) || '-' || (c.id % 20 + 27) || ' inches' AS v_meas1,
+      !    round((c.id % 20 + 20) * 0.0254::DOUBLE, 3)::VARCHAR || '-' || round((c.id % 20 + 27) * 0.0254::DOUBLE, 3)::VARCHAR || ' m' AS n_meas1,
+      !    (c.id % 90 + 1) || ' days' AS v_meas2
+      !  FROM cleanq c),
+      !ents AS (
+      !  SELECT did, clean,
+      !    unnest([
+      !      {'type': 'PERSON', 'value': v_person, 'norm': v_person},
+      !      {'type': 'PHONE', 'value': v_phone, 'norm': n_phone},
+      !      {'type': 'DATE', 'value': v_date, 'norm': n_date},
+      !      {'type': 'TIME', 'value': v_time, 'norm': n_time},
+      !      {'type': 'GPE', 'value': v_gpe, 'norm': v_gpe},
+      !      {'type': 'MONEY', 'value': v_money, 'norm': v_money},
+      !      {'type': 'REGULATION', 'value': v_reg, 'norm': v_reg},
+      !      {'type': 'MEASUREMENT', 'value': v_meas1, 'norm': n_meas1},
+      !      {'type': 'MEASUREMENT', 'value': v_meas2, 'norm': v_meas2},
+      !      {'type': 'PERSON', 'value': v_person2, 'norm': v_person}] ||
+      !      CASE WHEN id % 3 = 0 THEN [{'type': 'GPE', 'value': 'OSHA', 'norm': 'OSHA'}] ELSE [] END) AS e
+      !  FROM vals),
+      !pos AS (
+      !  SELECT did, clean, e, strpos(clean, e['value']) AS p FROM ents)
+      !SELECT did AS doc_id, e['type'] AS type, e['norm'] AS normalized,
+      !  e['value'] AS mention,
+      !  (p - 1)::INTEGER AS start,
+      !  substr(clean, greatest(1, p - 50), least(50, p - 1)) AS left_context,
+      !  substr(clean, p + length(e['value']), 50) AS right_context
+      !FROM pos
+      !ORDER BY doc_id, start, type""".stripMargin('!').replace("WITH SYNTH", s"WITH $docSynthCte").replace("$htmlMdCte", htmlMdCte)
+
   /** A2 relationship-edge oracle over the reconstructable modes: the
     * injected sentences pin which canonical entities share a sentence
     * window — (person, phone) from the contact sentence, the

@@ -167,6 +167,11 @@ object SparkEntry {
     "x_entity_edges_core" -> ((s, dir) =>
       graft.normalize.EntityEdges.edges(
         extracted(s, dir).filter(d => DocGen.kindOf(d.doc_id) != "pdf_blocks"))),
+    // per-mention ±50-char context windows (the disambiguator's raw
+    // material), hash-gated over the reconstructable modes
+    "x_mention_context_core" -> ((s, dir) =>
+      graft.normalize.EntityEdges.mentionContexts(
+        extracted(s, dir).filter(d => DocGen.kindOf(d.doc_id) != "pdf_blocks"))),
     // normalization hash-gate over the reconstructable modes
     "x_canonical_core" -> ((s, dir) =>
       extracted(s, dir)
@@ -557,6 +562,7 @@ object SparkEntry {
     "x_rejects" -> OracleSql.xRejects,
     "x_discoveries_core" -> OracleSql.xDiscoveriesCore,
     "x_entity_edges_core" -> OracleSql.xEntityEdgesCore,
+    "x_mention_context_core" -> OracleSql.xMentionContextCore,
     "x_discovery_learn_core" -> OracleSql.xDiscoveryLearnCore,
     "x_office_spans" -> OracleSql.xOfficeSpans,
     "x_office_entities" -> OracleSql.xOfficeEntities,

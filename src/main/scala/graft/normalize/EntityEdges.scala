@@ -20,6 +20,36 @@ import org.apache.spark.sql.functions._
   */
 object EntityEdges {
 
+  /** Reference context-window width (`entity_disambiguator.py:26-27`:
+    * 50 chars before and after the mention).
+    */
+  val ContextWindow = 50
+
+  /** Per-mention context windows — the disambiguator's raw material
+    * (`EntityContext`): each canonical entity's mentions with the
+    * ±50-char clean-text snippets around them. Document-local flatMap,
+    * no shuffle at all until a consumer aggregates.
+    */
+  def mentionContexts(extracted: Dataset[ExtractedDoc]): DataFrame = {
+    val spark = extracted.sparkSession
+    import spark.implicits._
+    extracted.flatMap { d =>
+      val clean = Core8Extractor.truncate(
+        Core8Extractor.cleanFormatting(d.spans.map(_.text).mkString("\n")))
+      d.canonical_entities.flatMap { c =>
+        c.mentions.map { m =>
+          val s = math.min(math.max(0, m.start), clean.length)
+          val e = math.min(math.max(s, m.end), clean.length)
+          (d.doc_id, c.`type`, c.normalized, m.text, m.start,
+            clean.substring(math.max(0, s - ContextWindow), s),
+            clean.substring(e, math.min(clean.length, e + ContextWindow)))
+        }
+      }
+    }.toDF("doc_id", "type", "normalized", "mention", "start",
+        "left_context", "right_context")
+      .orderBy("doc_id", "start", "type")
+  }
+
   /** Corpus-level co-occurrence edge table:
     * (type_a, norm_a, type_b, norm_b, n_docs), pair ordered by
     * (type, normalized) so each undirected edge has one canonical row.
