@@ -100,7 +100,8 @@ object SparkEntry {
       timed("warm:dup_groups") { graft.textops.TextOps.dupGroups(s, dir).count() },
       timed("warm:emb_buckets") { graft.sim.Similarity.lshBuckets(s, dir).count() },
       timed("warm:emb_pairs") { graft.sim.Similarity.embeddingDedup(s, dir, 0.40).count() },
-      timed("warm:emb_groups") { graft.sim.Similarity.embeddingGroups(s, dir, 0.40).count() })
+      timed("warm:emb_groups") { graft.sim.Similarity.embeddingGroups(s, dir, 0.40).count() },
+      timed("warm:centroids") { graft.sim.Similarity.warmCentroids(s, dir) })
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -155,6 +155,11 @@ object Similarity {
     */
   private val centroidCache = new graft.util.SessionCache[Array[(Int, Array[Double])]]
 
+  /** Warm hook (Bench): materialize the collected-centroid memo — the
+    * IVF index-build step, shared by every subsequent ivfTopK call.
+    */
+  def warmCentroids(s: SparkSession, dir: String): Int = collectedCentroids(s, dir).length
+
   private[sim] def collectedCentroids(s: SparkSession, dir: String): Array[(Int, Array[Double])] =
     centroidCache.getOrElseUpdate(s, dir) {
       labelCentroids(s, dir).collect()
