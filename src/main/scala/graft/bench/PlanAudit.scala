@@ -14,7 +14,10 @@ object PlanAudit {
       "q2_join_topk", "q3_multi_join", "t1_token_count", "s1_cosine_topk",
       "q10_semi_join", "m3_frame_sample",
       // round-2 additions: corpus-level agg, capped shingle join, office run
-      "x_global_entities", "t6_ngram_jaccard", "x_office_spans")
+      "x_global_entities", "t6_ngram_jaccard", "x_office_spans",
+      // round-3 additions: shuffle-free IVF assignment, edge aggregation,
+      // office entity facet
+      "s4_ivf_topk", "x_entity_edges_core", "x_office_entities")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
