@@ -83,13 +83,15 @@ object SparkEntry {
     * stays visible in the total but is no longer attributed to
     * whichever family query happens to run first in map order — that
     * attribution made per-query BENCH deltas incomparable across
-    * rounds. Failures are reported as -1, like query failures.
+    * rounds. A failed warm stage still reports its elapsed time (the
+    * cost was paid and must stay in the total; the failure itself
+    * surfaces through the family's own query entry).
     */
   def warmFamilies(s: SparkSession, dir: String): Seq[(String, Double)] = {
     def timed(name: String)(f: => Unit): (String, Double) = {
       val t0 = System.nanoTime()
-      val ok = try { f; true } catch { case _: Throwable => false }
-      (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      try f catch { case _: Throwable => () }
+      (name, (System.nanoTime() - t0) / 1e9)
     }
     Seq(
       timed("warm:extract") { extracted(s, dir).count() },

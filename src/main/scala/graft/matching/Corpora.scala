@@ -229,12 +229,19 @@ object Corpora {
     AhoCorasick.evict(_.endsWith(s".$old"))
   }
 
-  /** Routed through install() so superseded-version automaton eviction
-    * runs on BOTH transitions (install/reset cycles — the test pattern —
-    * would otherwise pin stale version-keyed automatons for the JVM
-    * lifetime).
+  /** Unconditionally restores the built-in bundle and evicts the
+    * superseded bundle's automatons. NOT routed through install(): a
+    * caller could have installed a DIFFERENT bundle under the version
+    * string "builtin" (CorpusTable.load takes a caller-chosen version),
+    * and a version-compare would then no-op and leave the imposter
+    * active — evicting by the old version also flushes any poisoned
+    * "builtin"-keyed automatons so they recompile from the real bundle.
     */
-  def reset(): Unit = install(builtIn)
+  def reset(): Unit = {
+    val old = active
+    active = builtIn
+    if (!(old eq builtIn)) AhoCorasick.evict(_.endsWith(s".${old.version}"))
+  }
 
   def bundle: CorpusBundle = active
   def version: String = active.version

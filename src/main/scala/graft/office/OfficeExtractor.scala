@@ -83,29 +83,12 @@ object OfficeExtractor {
     out.toSeq
   }
 
-  /** Values of `attr="…"` on every `<tag …>` occurrence (sheet names). */
-  def attrValues(xml: String, tag: String, attr: String): Seq[String] = {
-    val out = new ArrayBuffer[String]
-    val open = "<" + tag
-    val needle = attr + "=\""
-    var i = 0
-    while (i < xml.length) {
-      val at = xml.indexOf(open, i)
-      if (at < 0) return out.toSeq
-      val gt = xml.indexOf('>', at)
-      if (gt < 0) return out.toSeq
-      val tagStr = xml.substring(at, gt)
-      val a = tagStr.indexOf(needle)
-      if (a >= 0) {
-        val vStart = a + needle.length
-        val vEnd = tagStr.indexOf('"', vStart)
-        if (vEnd > vStart) out += graft.html.Entities.unescape(tagStr.substring(vStart, vEnd))
-        else out += ""
-      }
-      i = gt + 1
-    }
-    out.toSeq
-  }
+  /** Values of `attr="…"` on every `<tag …>` occurrence that carries
+    * the attribute (sheet names) — the single-attribute view of
+    * pairedAttrs, so there is exactly ONE tag/attribute scanner.
+    */
+  def attrValues(xml: String, tag: String, attr: String): Seq[String] =
+    pairedAttrs(xml, tag, Seq(attr)).map(_.head)
 
   /** Numeric part order: `ppt/slides/slide10.xml` sorts after `slide2`
     * (the primary readers iterate slides/sheets in document order; a

@@ -277,9 +277,30 @@ object Similarity {
     * vectors that shuffle dwarfed the probe-join savings. Now the only
     * exchange in the plan is the final per-query top-k window.
     */
+  /** Budget for the literal-centroid plan: beyond ~50k baked expression
+    * nodes (k·dim) the PLAN becomes the bottleneck — Catalyst analysis
+    * cost and the 64KB generated-method limit — so larger quantizers
+    * take the broadcast-join + max_by path instead (partial aggregation;
+    * the shuffle carries (vec_id, cell) candidates, never embeddings).
+    */
+  val LiteralCentroidBudget = 50000
+
   def ivfTopK(s: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    graft.functions.GraftFunctions.ensureRegistered(s)
+    val cents = collectedCentroids(s, dir)
+    val dim = cents.headOption.map(_._2.length).getOrElse(0)
+    val (assigned, probes) =
+      if (cents.length * dim <= LiteralCentroidBudget) literalCells(s, dir, nQueries)
+      else joinCells(s, dir, nQueries)
+    topKWithin(s, assigned, probes, k)
+  }
+
+  /** Shuffle-free cell assignment: centroids baked as literal arrays,
+    * argmax via array_max over struct(cos_c, -label) (max cosine, ties
+    * to the lowest label — the oracle's ORDER BY cos_c DESC, c_label).
+    * Valid while k·dim fits the literal budget; the only exchange left
+    * in the whole query is the final top-k window.
+    */
+  private def literalCells(s: SparkSession, dir: String, nQueries: Int): (DataFrame, DataFrame) = {
     val emb = embeddings(s, dir)
     val cands = array(collectedCentroids(s, dir).map { case (lbl, vec) =>
       val cvec = array(vec.map(lit(_)): _*)
@@ -298,6 +319,45 @@ object Similarity {
           explode(slice(cellsDesc, 1, NProbe)).as("pc"))
         .withColumn("probe_cell", -col("pc").getField("neg_label"))
         .drop("pc"))
+    (assigned, probes)
+  }
+
+  /** Large-quantizer cell assignment: broadcast the centroid table and
+    * pick each vector's cell with max_by under groupBy(vec_id) — the
+    * map-side partial aggregate reduces each partition to one (cos,
+    * cell) candidate per vector BEFORE the exchange, so the shuffle
+    * carries small rows, never the n×k embedding-carrying join output
+    * (the r2 window-ranking plan this family replaced).
+    */
+  private def joinCells(s: SparkSession, dir: String, nQueries: Int): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val emb = embeddings(s, dir)
+    val centDf = broadcast(
+      collectedCentroids(s, dir).toSeq.toDF("c_label", "centroid"))
+    val scored = emb.join(centDf)
+      .withColumn("cos_c", cosineMixedCol(col("embedding"), col("centroid")))
+      .withColumn("neg_label", -col("c_label"))
+    val assigned = scored
+      .groupBy("vec_id")
+      .agg((-max_by(col("neg_label"), struct(col("cos_c"), col("neg_label")))).as("cell"))
+      .join(emb, "vec_id")
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    val probes = broadcast(
+      scored.filter(col("vec_id") < nQueries)
+        .groupBy(col("vec_id").as("q_id"))
+        // ascending sort of (-cos, label) = cosine desc, label asc
+        .agg(slice(array_sort(collect_list(struct((-col("cos_c")).as("nc"),
+          col("c_label").as("cl")))), 1, NProbe).as("top"))
+        .select(col("q_id"), explode(col("top")).as("pc"))
+        .withColumn("probe_cell", col("pc").getField("cl"))
+        .drop("pc")
+        .join(emb.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")), "q_id"))
+    (assigned, probes)
+  }
+
+  private def topKWithin(s: SparkSession, assigned: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.ensureRegistered(s)
     val wK = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
     assigned
       .join(probes, col("cell") === col("probe_cell") && col("vec_id") =!= col("q_id"))
@@ -306,5 +366,11 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
       .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Test hook: the join-path variant regardless of budget. */
+  private[sim] def ivfTopKJoinPath(s: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val (assigned, probes) = joinCells(s, dir, nQueries)
+    topKWithin(s, assigned, probes, k)
   }
 }

@@ -163,7 +163,13 @@ object TextOps {
       // localCheckpoint, not persist: the pair frame is tiny but its
       // logical tree is the whole shingle pipeline — a persist keeps
       // that tree in every consumer's plan and the optimizer re-walks
-      // it per action (measured seconds per action at sf0.1)
+      // it per action (measured seconds per action at sf0.1).
+      // Trade-off, deliberate: checkpoint blocks are unreplicated and
+      // lineage is gone, so on a cluster with executor churn a lost
+      // block fails the consumer instead of recomputing — there, swap
+      // for reliable checkpointing (sparkContext.setCheckpointDir +
+      // .checkpoint()), which keeps the lineage truncation and adds
+      // durable storage; the memo pattern is unchanged.
       ngramJaccardUncached(s, dir, threshold).localCheckpoint()
     }
 
@@ -248,9 +254,10 @@ object TextOps {
 
   def minhashLsh(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame =
     lshPairCache.getOrElseUpdate(s, s"$dir#$threshold") {
-      // localCheckpoint for the same lineage-truncation reason as
-      // ngramJaccard above
-      minhashLshUncached(s, dir, threshold).localCheckpoint()
+      // the builder checkpoints its own result (lineage truncation, same
+      // reason as ngramJaccard above) so it can release its intermediate
+      // band/candidate caches once the pairs are materialized
+      minhashLshUncached(s, dir, threshold)
     }
 
   private def minhashLshUncached(s: SparkSession, dir: String, threshold: Double): DataFrame = {
@@ -293,7 +300,7 @@ object TextOps {
       .unionByName(cand.select(col("b").as("doc_id"))).distinct()
     val sets = shk.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
       .groupBy("doc_id").agg(collect_set(col("sh")).as("shs"))
-    cand
+    val out = cand
       .join(sets.select(col("doc_id").as("a"), col("shs").as("sa")), Seq("a"))
       .join(sets.select(col("doc_id").as("b"), col("shs").as("sb")), Seq("b"))
       .withColumn("i", size(array_intersect(col("sa"), col("sb"))).cast("long"))
@@ -302,6 +309,13 @@ object TextOps {
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "jaccard")
       .orderBy("a", "b")
+      .localCheckpoint() // eager: pairs materialize NOW, lineage truncated
+    // the band/candidate caches have zero readers once the pairs are
+    // checkpointed — release them instead of pinning storage memory for
+    // the session lifetime (one leak per (dir, threshold) memo key)
+    bands.unpersist(false)
+    cand.unpersist(false)
+    out
   }
 
   // --------------------------------------------------------- dup groups
@@ -319,17 +333,23 @@ object TextOps {
     * only a changed-count.
     */
   def connectedComponents(pairs: DataFrame): DataFrame = {
-    val spark = pairs.sparkSession
+    val parent = pairs.sparkSession
     val p = 8
     // the loop's frames are pair-set-sized (LSH-bounded), so EVERY
     // exchange in the round — the groupBy and join shuffles, not just
     // the explicit repartitions — should run at the small fixed width,
     // not the session-wide shuffle width: at 32 session partitions the
-    // per-round cost is ~6× pure task scheduling. Restored afterwards.
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", p.toString)
-    try connectedComponentsAt(pairs, p)
-    finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    // per-round cost is ~6× pure task scheduling. The loop runs in a
+    // CHILD session with its own conf (the streaming-replay pattern),
+    // never mutating — or racing on — the caller's session conf. The
+    // pair frame crosses sessions via an eager localCheckpoint (RDDs
+    // are context-level), and the result crosses back the same way.
+    val loop = parent.newSession()
+    loop.conf.set("spark.sql.shuffle.partitions", p.toString)
+    val pairs0 = pairs.select(col("a"), col("b")).localCheckpoint()
+    val pairsInLoop = loop.createDataFrame(pairs0.rdd, pairs0.schema)
+    val labels = connectedComponentsAt(pairsInLoop, p)
+    parent.createDataFrame(labels.rdd, labels.schema)
   }
 
   private def connectedComponentsAt(pairs: DataFrame, p: Int): DataFrame = {
@@ -428,10 +448,11 @@ object TextOps {
     * both already memoized.
     */
   def lshRecall(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
-    // broadcast the keeper ids: both semi-joins then reuse ONE
-    // broadcast exchange instead of re-running the fingerprint groupBy
-    // through two shuffles (keepers are doc_id-sized dimension data)
-    val keepers = broadcast(exactKeepers(s, dir))
+    // NO broadcast hint: keepers are O(corpus) rows (one per distinct
+    // fingerprint), not dimension data — a forced broadcast would
+    // collect the whole doc_id set on the driver at 10^9 docs. The
+    // plain semi-joins shuffle doc_id pairs only.
+    val keepers = exactKeepers(s, dir)
     // the threshold only filters the final Jaccard ratio, so truth at
     // any threshold >= t6's canonical 0.2 is a FILTER of the memoized
     // t6 frame — reuse it instead of re-running the shingle self-join
