@@ -13,10 +13,21 @@ object OracleSql {
 
   private def sqlList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString(", ")
 
+  val rollingFingerprint: String =
+    """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      |  FROM documents)
+      |SELECT doc_id,
+      | list_reduce([0::BIGINT] || list_transform(toks,
+      |   w -> ('0x' || substr(md5(w), 1, 8))::BIGINT % 2147483647),
+      |  (acc, h) -> (acc * 31 + h) % 2147483647) AS rolling_fp,
+      | len(toks)::BIGINT AS n_tokens
+      |FROM t ORDER BY doc_id""".stripMargin
+
   val tokenCount: String =
     """SELECT doc_id,
       | len(regexp_extract_all(text, '\S+')) AS n_ws_tokens,
-      | len(regexp_extract_all(lower(text), '[a-z]+')) AS n_word_tokens
+      | len(regexp_extract_all(lower(text), '[a-z]+')) AS n_word_tokens,
+      | len(regexp_extract_all(lower(text), '''[a-z]+| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s'']+'))::BIGINT AS n_bpe_tokens
       |FROM documents ORDER BY doc_id""".stripMargin
 
   val qualityScore: String = {

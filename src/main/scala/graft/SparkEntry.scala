@@ -418,6 +418,7 @@ object SparkEntry {
     "t10_dup_groups" -> ((s, dir) => graft.textops.TextOps.dupGroups(s, dir)),
     "t11_corpus_select" -> ((s, dir) => graft.textops.TextOps.corpusSelect(s, dir)),
     "t12_lsh_recall" -> ((s, dir) => graft.textops.TextOps.lshRecall(s, dir)),
+    "t13_rolling_fp" -> ((s, dir) => graft.textops.TextOps.rollingFingerprint(s, dir)),
 
     // ---- multimodal media columns (binary payloads; DuckDB-verified)
     "m1_media_stats" -> ((s, dir) => graft.media.MediaOps.mediaStats(s, dir)),
@@ -595,6 +596,7 @@ object SparkEntry {
     "t10_dup_groups" -> OracleSql.dupGroups(0.5),
     "t11_corpus_select" -> OracleSql.corpusSelect(0.5, 0.5),
     "t12_lsh_recall" -> OracleSql.lshRecall(0.5),
+    "t13_rolling_fp" -> OracleSql.rollingFingerprint,
     "m1_media_stats" -> OracleSql.mediaStats,
     "m2_image_meta" -> OracleSql.imageMeta,
     "m3_frame_sample" -> OracleSql.frameSample,

@@ -21,12 +21,22 @@ object TextOps {
 
   // ------------------------------------------------------------- tokens
 
-  /** Whitespace tokens + word tokens per doc. */
+  /** BPE-ish pre-tokenizer regex (GPT-2-style, lowercased input):
+    * contractions, optionally space-prefixed letter runs, digit runs,
+    * punctuation runs — each alternative is one would-be token. Both
+    * engines (Java regex / RE2) use leftmost-first alternation, so the
+    * counts agree by construction.
+    */
+  val BpeishPattern = "'[a-z]+| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s']+"
+
+  /** Whitespace tokens + word tokens + BPE-ish tokens per doc. */
   def tokenCount(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(
       col("doc_id"),
       size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long").as("n_ws_tokens"),
-      size(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).cast("long").as("n_word_tokens"))
+      size(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).cast("long").as("n_word_tokens"),
+      size(regexp_extract_all(lower(col("text")), lit(BpeishPattern), lit(0)))
+        .cast("long").as("n_bpe_tokens"))
       .orderBy("doc_id")
 
   // ------------------------------------------------------------ quality
@@ -99,6 +109,25 @@ object TextOps {
   /** Whitespace-normalized lowercase MD5 document fingerprint. */
   def fingerprintCol: Column =
     md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+
+  /** t13: ROLLING-HASH document fingerprint — a polynomial hash folded
+    * over the token stream (base 31 mod 2^31-1, per-token values from
+    * the portable md5-derived hash), the Rabin-Karp-style fingerprint a
+    * training pipeline uses when it needs order-sensitive fingerprints
+    * cheap enough to recompute incrementally. Pure column fold — one
+    * scan, no shuffle; mod keeps every intermediate under 2^36 (ANSI
+    * overflow-safe) and identical in DuckDB's list_reduce.
+    */
+  def rollingFingerprint(s: SparkSession, dir: String): DataFrame = {
+    val p = MinhashP
+    val toks = expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+    val rolled = aggregate(toks, lit(0L),
+      (acc, w) => (acc * 31L + conv(substring(md5(w), 1, 8), 16, 10).cast("long") % p) % p)
+    docs(s, dir)
+      .select(col("doc_id"), rolled.as("rolling_fp"),
+        size(toks).cast("long").as("n_tokens"))
+      .orderBy("doc_id")
+  }
 
   def fingerprint(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"), fingerprintCol.as("fp")).orderBy("doc_id")
