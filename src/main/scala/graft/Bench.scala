@@ -22,7 +22,9 @@ object Bench {
     val warm = SparkEntry.warmFamilies(spark, sfDir)
     val results = warm ++ SparkEntry.queries.toSeq.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+        System.err.println(s"[graft] $name FAILED after ${(System.nanoTime() - t0) / 1e9}s: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

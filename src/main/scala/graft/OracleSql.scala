@@ -23,12 +23,16 @@ object OracleSql {
       | len(toks)::BIGINT AS n_tokens
       |FROM t ORDER BY doc_id""".stripMargin
 
-  val tokenCount: String =
-    """SELECT doc_id,
-      | len(regexp_extract_all(text, '\S+')) AS n_ws_tokens,
-      | len(regexp_extract_all(lower(text), '[a-z]+')) AS n_word_tokens,
-      | len(regexp_extract_all(lower(text), '''[a-z]+| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s'']+'))::BIGINT AS n_bpe_tokens
-      |FROM documents ORDER BY doc_id""".stripMargin
+  val tokenCount: String = {
+    // generated from the SAME pattern constant the engine compiles
+    // (control chars embed literally; Verify's JSON dump escapes them)
+    val bpe = TextOps.BpeishPattern.replace("'", "''")
+    s"""SELECT doc_id,
+       ! len(regexp_extract_all(text, '\\S+')) AS n_ws_tokens,
+       ! len(regexp_extract_all(lower(text), '[a-z]+')) AS n_word_tokens,
+       ! len(regexp_extract_all(lower(text), '$bpe'))::BIGINT AS n_bpe_tokens
+       !FROM documents ORDER BY doc_id""".stripMargin('!')
+  }
 
   val qualityScore: String = {
     val stops = sqlList(graft.matching.Corpora.englishStopwords.toSeq.sorted)

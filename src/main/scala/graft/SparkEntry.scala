@@ -84,13 +84,16 @@ object SparkEntry {
     * whichever family query happens to run first in map order — that
     * attribution made per-query BENCH deltas incomparable across
     * rounds. A failed warm stage still reports its elapsed time (the
-    * cost was paid and must stay in the total; the failure itself
-    * surfaces through the family's own query entry).
+    * cost was paid and must stay in the total) and prints a loud
+    * failure marker to stderr — the JSON values stay cost-true while
+    * failures remain visible in the run log.
     */
   def warmFamilies(s: SparkSession, dir: String): Seq[(String, Double)] = {
     def timed(name: String)(f: => Unit): (String, Double) = {
       val t0 = System.nanoTime()
-      try f catch { case _: Throwable => () }
+      try f catch { case e: Throwable =>
+        System.err.println(s"[graft] $name FAILED after ${(System.nanoTime() - t0) / 1e9}s: ${e.getMessage}")
+      }
       (name, (System.nanoTime() - t0) / 1e9)
     }
     Seq(

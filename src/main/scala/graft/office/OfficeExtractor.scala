@@ -88,7 +88,7 @@ object OfficeExtractor {
     * pairedAttrs, so there is exactly ONE tag/attribute scanner.
     */
   def attrValues(xml: String, tag: String, attr: String): Seq[String] =
-    pairedAttrs(xml, tag, Seq(attr)).map(_.head)
+    pairedAttrs(xml, tag, Seq(attr)).flatMap(_.head)
 
   /** Numeric part order: `ppt/slides/slide10.xml` sorts after `slide2`
     * (the primary readers iterate slides/sheets in document order; a
@@ -121,11 +121,14 @@ object OfficeExtractor {
     Right(toSpans(out.toSeq))
   }
 
-  /** Per-`<tag …>` values of several attributes at once (aligned by
-    * element; missing attribute → empty string).
+  /** Per-`<tag …>` values of several attributes at once, aligned by
+    * element: Some(value) when the attribute is present (possibly ""),
+    * None when absent; elements carrying none of the attributes are
+    * skipped. Present-but-empty values matter — the xlsx title fallback
+    * aligns titles to sheets positionally.
     */
-  private def pairedAttrs(xml: String, tag: String, attrs: Seq[String]): Seq[Seq[String]] = {
-    val out = new ArrayBuffer[Seq[String]]
+  private def pairedAttrs(xml: String, tag: String, attrs: Seq[String]): Seq[Seq[Option[String]]] = {
+    val out = new ArrayBuffer[Seq[Option[String]]]
     val open = "<" + tag
     var i = 0
     while (i < xml.length) {
@@ -137,14 +140,15 @@ object OfficeExtractor {
       val row = attrs.map { attr =>
         val needle = attr + "=\""
         val a = tagStr.indexOf(needle)
-        if (a < 0) ""
+        if (a < 0) None
         else {
           val vStart = a + needle.length
           val vEnd = tagStr.indexOf('"', vStart)
-          if (vEnd > vStart) graft.html.Entities.unescape(tagStr.substring(vStart, vEnd)) else ""
+          if (vEnd >= vStart) Some(graft.html.Entities.unescape(tagStr.substring(vStart, vEnd)))
+          else Some("")
         }
       }
-      if (row.exists(_.nonEmpty)) out += row
+      if (row.exists(_.isDefined)) out += row
       i = gt + 1
     }
     out.toSeq
@@ -168,11 +172,11 @@ object OfficeExtractor {
       w <- wb
       r <- rels
       relMap = pairedAttrs(r.xml, "Relationship", Seq("Id", "Target"))
-        .collect { case Seq(id, tgt) if id.nonEmpty && tgt.nonEmpty =>
+        .collect { case Seq(Some(id), Some(tgt)) if id.nonEmpty && tgt.nonEmpty =>
           id -> ("xl/" + tgt.stripPrefix("/xl/").stripPrefix("./"))
         }.toMap
       defs = pairedAttrs(w.xml, "sheet", Seq("name", "r:id"))
-        .collect { case Seq(nm, rid) if rid.nonEmpty => (nm, rid) }
+        .collect { case Seq(nm, Some(rid)) if rid.nonEmpty => (nm.getOrElse(""), rid) }
       byName = sheets.map(p => p.name -> p).toMap
       pairs = defs.flatMap { case (nm, rid) =>
         relMap.get(rid).flatMap(byName.get).map(p => (p, nm))

@@ -24,10 +24,12 @@ object TextOps {
   /** BPE-ish pre-tokenizer regex (GPT-2-style, lowercased input):
     * contractions, optionally space-prefixed letter runs, digit runs,
     * punctuation runs — each alternative is one would-be token. Both
-    * engines (Java regex / RE2) use leftmost-first alternation, so the
-    * counts agree by construction.
+    * engines (Java regex / RE2) use leftmost-first alternation, and the
+    * whitespace class is spelled out EXPLICITLY because Java's \s
+    * includes vertical tab while RE2's does not — the oracle SQL is
+    * generated from this same constant so the two cannot drift.
     */
-  val BpeishPattern = "'[a-z]+| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s']+"
+  val BpeishPattern = "'[a-z]+| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\t\n\f\r ']+"
 
   /** Whitespace tokens + word tokens + BPE-ish tokens per doc. */
   def tokenCount(s: SparkSession, dir: String): DataFrame =

@@ -113,4 +113,18 @@ class OfficeExtractorSpec extends AnyFunSuite {
     assert(fb.map(_.text) ===
       Seq("=== Budget ===", "log row", "=== Log ===", "budget row"))
   }
+
+  test("fallback title pairing keeps alignment past an empty sheet name") {
+    import graft.model.OfficePart
+    val wb = """<workbook><sheets><sheet name="" sheetId="1"/><sheet name="Data" sheetId="2"/></sheets></workbook>"""
+    def sheet(t: String) =
+      s"""<worksheet><sheetData><row><c t="inlineStr"><is><t>$t</t></is></c></row></sheetData></worksheet>"""
+    val parts = Seq(
+      OfficePart("xl/workbook.xml", wb),
+      OfficePart("xl/worksheets/sheet1.xml", sheet("one")),
+      OfficePart("xl/worksheets/sheet2.xml", sheet("two")))
+    val spans = OfficeExtractor.extractXlsx(parts).toOption.get
+    // the empty name occupies position 1, so sheet2 still gets "Data"
+    assert(spans.map(_.text) === Seq("===  ===", "one", "=== Data ===", "two"))
+  }
 }
