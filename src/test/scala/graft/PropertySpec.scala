@@ -152,4 +152,18 @@ class PropertySpec extends AnyFunSuite {
       HtmlExtractor.extract(s)
     }
   }
+
+  test("P7: universal fallback never throws and always yields a span") {
+    val gen = Gen.listOfN(400, Gen.frequency(
+      (4, Gen.alphaNumChar),
+      (2, Gen.const(' ')),
+      (2, Gen.choose(0.toChar, 31.toChar)),
+      (1, Gen.choose(128.toChar, 0x2FFF.toChar)))).map(_.mkString)
+    (0 until 200).foreach { i =>
+      val content = gen(Gen.Parameters.default, Seed(i.toLong)).get
+      val spans = graft.extract.UniversalFallback.extract(s"f$i", content)
+      assert(spans.nonEmpty, s"no span for seed $i")
+      assert(spans.forall(_.text.nonEmpty))
+    }
+  }
 }
