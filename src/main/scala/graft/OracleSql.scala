@@ -1131,6 +1131,17 @@ object OracleSql {
        !FROM edges GROUP BY 1, 2, 3, 4
        !ORDER BY 1, 2, 3, 4""".stripMargin('!')
 
+  /** Shared E15 discovery-value CTE: the three deterministic pattern
+    * hits per text-mode doc (see DocGen.discoverySentence).
+    */
+  private val discCte: String =
+    """disc AS (
+      !  SELECT did, body,
+      !    (['Wexford','Tarlow','Quimby','Ashford'])[(id % 4 + 1)::INT] AS sur,
+      !    'Department of ' || (['Harborview','Glenfield','Marwick','Ostrander'])[((id // 4) % 4 + 1)::INT] AS dept,
+      !    (['Pinecrest','Eastbrook','Larkspur','Dunmore','Hollybrook'])[((id // 10) % 5 + 1)::INT] || ' Valley' AS gfeat
+      !  FROM bodyq WHERE is_text)""".stripMargin('!')
+
   /** E15 gap-discovery oracle: text-mode docs carry the injected
     * discovery sentence (DocGen.discoverySentence) — its three proper
     * nouns are invisible to Core-8 (unknown surname, leading-cue
@@ -1144,12 +1155,7 @@ object OracleSql {
     */
   val xDiscoveriesCore: String =
     s"""WITH $docSynthCte,
-       !disc AS (
-       !  SELECT did, body,
-       !    (['Wexford','Tarlow','Quimby','Ashford'])[(id % 4 + 1)::INT] AS sur,
-       !    'Department of ' || (['Harborview','Glenfield','Marwick','Ostrander'])[((id // 4) % 4 + 1)::INT] AS dept,
-       !    (['Pinecrest','Eastbrook','Larkspur','Dunmore','Hollybrook'])[((id // 10) % 5 + 1)::INT] || ' Valley' AS gfeat
-       !  FROM bodyq WHERE is_text),
+       !$discCte,
        !rows0 AS (
        !  SELECT did, body, unnest([
        !    {'type': 'PERSON', 'text': sur, 'confidence': 0.85::DOUBLE, 'pattern': 'title_person'},
@@ -1170,12 +1176,7 @@ object OracleSql {
     */
   val xDiscoveryLearnCore: String =
     s"""WITH $docSynthCte,
-       !disc AS (
-       !  SELECT did,
-       !    (['Wexford','Tarlow','Quimby','Ashford'])[(id % 4 + 1)::INT] AS sur,
-       !    'Department of ' || (['Harborview','Glenfield','Marwick','Ostrander'])[((id // 4) % 4 + 1)::INT] AS dept,
-       !    (['Pinecrest','Eastbrook','Larkspur','Dunmore','Hollybrook'])[((id // 10) % 5 + 1)::INT] || ' Valley' AS gfeat
-       !  FROM bodyq WHERE is_text),
+       !$discCte,
        !rows0 AS (
        !  SELECT did, unnest([
        !    {'type': 'PERSON', 'text': sur, 'conf': 0.85::DOUBLE},

@@ -262,21 +262,6 @@ object Similarity {
 
   val NProbe = 2
 
-  /** IVF ANN: coarse-quantize each vector to its nearest label centroid
-    * (the cell), probe the query's NProbe nearest cells, exact top-k
-    * within the probed cells only. Centroid components are rounded to 4
-    * decimals so both engines quantize identically.
-    *
-    * Cell assignment is SHUFFLE-FREE: the k ≈ √n centroids are collected
-    * once (broadcast-sized by construction) and baked into a single
-    * projection as literal arrays — each row picks its cell with
-    * `array_max` over struct(cos_c, -label) (max cosine, ties to the
-    * lowest label, matching the oracle's ORDER BY cos_c DESC, c_label).
-    * r2's version instead joined emb × centroids and ranked with a
-    * window over vec_id, exchanging n×k embedding-carrying rows; at 10^9
-    * vectors that shuffle dwarfed the probe-join savings. Now the only
-    * exchange in the plan is the final per-query top-k window.
-    */
   /** Budget for the literal-centroid plan: beyond ~50k baked expression
     * nodes (k·dim) the PLAN becomes the bottleneck — Catalyst analysis
     * cost and the 64KB generated-method limit — so larger quantizers
@@ -285,6 +270,14 @@ object Similarity {
     */
   val LiteralCentroidBudget = 50000
 
+  /** IVF ANN: coarse-quantize each vector to its nearest label centroid
+    * (the cell), probe the query's NProbe nearest cells, exact top-k
+    * within the probed cells only. Centroid components are rounded to 4
+    * decimals so both engines quantize identically. r2's plan joined
+    * emb × centroids and ranked with a window over vec_id, exchanging
+    * n×k embedding-carrying rows; both current strategies assign cells
+    * without that shuffle (see literalCells/joinCells).
+    */
   def ivfTopK(s: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
     val cents = collectedCentroids(s, dir)
     val dim = cents.headOption.map(_._2.length).getOrElse(0)
