@@ -22,15 +22,21 @@ object Bench {
     val warm = SparkEntry.warmFamilies(spark, sfDir)
     val results = warm ++ SparkEntry.queries.toSeq.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
-        System.err.println(s"[graft] $name FAILED after ${(System.nanoTime() - t0) / 1e9}s: ${e.getMessage}")
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).count(); true } catch { case e: Throwable =>
+          System.err.println(s"[graft] $name FAILED after ${(System.nanoTime() - t0) / 1e9}s: ${e.getMessage}")
+          false
+        }
+      (name, (System.nanoTime() - t0) / 1e9, !ok)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // failures are machine-readable, not stderr-only: a fast failure must
+    // never read as a fast query to a consumer comparing BENCH rounds
+    val failed = results.collect { case (k, _, true) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1195,6 +1195,45 @@ object OracleSql {
        !  'discovered:' || n_docs AS meta
        !FROM flt ORDER BY kind, value""".stripMargin('!')
 
+  /** F12 csv-conversion oracle over the aux corpus (DocGen.synthCsv →
+    * CsvText): the `' | '`-joined conversion of the deterministic csv —
+    * header line plus 3..7 rows whose quoted note field ("w1, w2")
+    * collapses to one field — emitted as a single table span.
+    */
+  val xCsvSpans: String =
+    """WITH w AS (SELECT doc_id AS id, 'doc' || doc_id AS did, str_split(text, ' ') AS ws,
+      !    len(str_split(text, ' ')) AS n
+      !  FROM documents WHERE doc_id % 2 = 0),
+      !rows0 AS (SELECT did,
+      !  'row_id | item | qty | note' || chr(10) ||
+      !  array_to_string(list_transform(range(3 + id % 5), i ->
+      !    (i + 1) || ' | ' || ws[((id + i) % n + 1)::INT] || ' | ' || ((id * 7 + i * 3) % 100)
+      !      || ' | ' || ws[((id + 2*i) % n + 1)::INT] || ', ' || ws[((id + 2*i + 1) % n + 1)::INT]),
+      !  chr(10)) AS t FROM w)
+      !SELECT did AS doc_id, 0::INTEGER AS "offset", 'table' AS kind, t AS text, '' AS media_ref
+      !FROM rows0 ORDER BY doc_id""".stripMargin('!')
+
+  /** F15 universal-fallback oracle over the aux corpus (odd ids,
+    * DocGen.synthBin → UniversalFallback): id%6==1 docs are mostly
+    * printable (tier 1 text passthrough), id%6==3 docs interleave words
+    * with control bytes (tier 2 printable-strings harvest = the words of
+    * length ≥ 4, each its own run), id%6==5 docs are pure control bytes
+    * (tier 3 placeholder). The synthesized payloads sit far under the
+    * 500/1000 run caps, so the caps never bind here (LshCapSpec-style
+    * adversarial cases live in UniversalFallbackSpec).
+    */
+  val xFallbackSpans: String =
+    """WITH w AS (SELECT doc_id AS id, 'doc' || doc_id AS did, text, str_split(text, ' ') AS ws
+      !  FROM documents WHERE doc_id % 2 = 1),
+      !b AS (SELECT *, (id % 6) AS m, list_filter(ws, x -> length(x) >= 4) AS keep FROM w)
+      !SELECT did AS doc_id, 0::INTEGER AS "offset", 'text' AS kind,
+      ! CASE WHEN m = 1 THEN text
+      !      WHEN m = 3 THEN (CASE WHEN len(keep) = 0 THEN '[Binary file: ' || did || ']'
+      !                       ELSE array_to_string(keep, chr(10)) END)
+      !      ELSE '[Binary file: ' || did || ']' END AS text,
+      ! '' AS media_ref
+      !FROM b ORDER BY doc_id""".stripMargin('!')
+
   /** Office-corpus CLEAN text (span texts joined by \n, heading-prefix
     * strip applied): every office mode is chunk-free, so the Core-8
     * input is exactly reconstructable — the basis of the office entity

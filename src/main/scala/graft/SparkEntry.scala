@@ -58,6 +58,24 @@ object SparkEntry {
       ds
     }
 
+  /** F12/F15 aux corpus — csv + unknown-kind payloads through the same
+    * fused pipeline (DocGen.auxRawDocs), persisted per (session, dir).
+    */
+  private val auxCache = new graft.util.SessionCache[Dataset[ExtractedDoc]]
+
+  private def auxExtracted(s: SparkSession, dir: String): Dataset[ExtractedDoc] =
+    auxCache.getOrElseUpdate(s, dir) {
+      val ds = ExtractionPipeline.run(s, DocGen.auxRawDocs(s, dir))
+      ds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      ds
+    }
+
+  /** Column-level doc-id arithmetic (doc_id = "doc<id>"): keeps facet
+    * filters inside codegen instead of deserializing ExtractedDoc objects
+    * for a typed lambda.
+    */
+  private def docIdNum = expr("CAST(substring(doc_id, 4) AS BIGINT)")
+
   private def extractedOfKind(s: SparkSession, dir: String, kind: String): Dataset[ExtractedDoc] = {
     import s.implicits._
     // content_kind is a pure function of the numeric doc id (DocGen mix),
@@ -84,21 +102,25 @@ object SparkEntry {
     * whichever family query happens to run first in map order — that
     * attribution made per-query BENCH deltas incomparable across
     * rounds. A failed warm stage still reports its elapsed time (the
-    * cost was paid and must stay in the total) and prints a loud
-    * failure marker to stderr — the JSON values stay cost-true while
-    * failures remain visible in the run log.
+    * cost was paid and must stay in the total), prints a loud failure
+    * marker to stderr, AND carries the failure flag into the result so
+    * Bench can list it machine-readably — a fast failure must never
+    * read as a fast query to a JSON consumer comparing rounds.
     */
-  def warmFamilies(s: SparkSession, dir: String): Seq[(String, Double)] = {
-    def timed(name: String)(f: => Unit): (String, Double) = {
+  def warmFamilies(s: SparkSession, dir: String): Seq[(String, Double, Boolean)] = {
+    def timed(name: String)(f: => Unit): (String, Double, Boolean) = {
       val t0 = System.nanoTime()
-      try f catch { case e: Throwable =>
-        System.err.println(s"[graft] $name FAILED after ${(System.nanoTime() - t0) / 1e9}s: ${e.getMessage}")
-      }
-      (name, (System.nanoTime() - t0) / 1e9)
+      val ok =
+        try { f; true } catch { case e: Throwable =>
+          System.err.println(s"[graft] $name FAILED after ${(System.nanoTime() - t0) / 1e9}s: ${e.getMessage}")
+          false
+        }
+      (name, (System.nanoTime() - t0) / 1e9, !ok)
     }
     Seq(
       timed("warm:extract") { extracted(s, dir).count() },
       timed("warm:office") { officeExtracted(s, dir).count() },
+      timed("warm:aux") { auxExtracted(s, dir).count() },
       timed("warm:shingles") { graft.textops.TextOps.shingles(s, dir).count() },
       timed("warm:ngram_pairs") { graft.textops.TextOps.ngramJaccard(s, dir, 0.2).count() },
       timed("warm:lsh_pairs") { graft.textops.TextOps.minhashLsh(s, dir, 0.5).count() },
@@ -115,6 +137,13 @@ object SparkEntry {
     "x_pdf_spans" -> ((s, dir) => spansOf(extractedOfKind(s, dir, "pdf_blocks"))),
     "x_text_spans" -> ((s, dir) => spansOf(extractedOfKind(s, dir, "text"))),
     "x_office_spans" -> ((s, dir) => spansOf(officeExtracted(s, dir))),
+    // F12 csv conversion + F15 universal fallback, each hash-gated by a
+    // reconstruction oracle over the aux corpus (even ids = csv, odd =
+    // unknown kind exercising all three fallback tiers)
+    "x_csv_spans" -> ((s, dir) =>
+      spansOf(auxExtracted(s, dir).filter(docIdNum % 2 === 0))),
+    "x_fallback_spans" -> ((s, dir) =>
+      spansOf(auxExtracted(s, dir).filter(docIdNum % 2 === 1))),
     // office corpus is chunk-free, so its downstream stages are exactly
     // reconstructable too — entity and fact hash-gates over the same run
     "x_office_entities" -> ((s, dir) =>
@@ -572,6 +601,8 @@ object SparkEntry {
     "x_mention_context_core" -> OracleSql.xMentionContextCore,
     "x_discovery_learn_core" -> OracleSql.xDiscoveryLearnCore,
     "x_office_spans" -> OracleSql.xOfficeSpans,
+    "x_csv_spans" -> OracleSql.xCsvSpans,
+    "x_fallback_spans" -> OracleSql.xFallbackSpans,
     "x_office_entities" -> OracleSql.xOfficeEntities,
     "x_office_facts" -> OracleSql.xOfficeFacts,
     "x_classify" -> OracleSql.xClassify,

@@ -70,15 +70,20 @@ object SpoExtractor {
       triggers: Seq[Seq[String]])
 
   private val compiledCache =
-    scala.collection.concurrent.TrieMap.empty[String, Seq[FactPattern]]
+    scala.collection.concurrent.TrieMap.empty[(String, Int), Seq[FactPattern]]
 
-  private def compiled(set: SpoPatternSet): Seq[FactPattern] =
-    compiledCache.getOrElseUpdate(set.version, {
+  private def compiled(set: SpoPatternSet): Seq[FactPattern] = {
+    // keyed by (version, content hash), not the bare version string: two
+    // fromRows() calls reusing a version with different rows must compile
+    // their own sets, never silently serve the first set's patterns
+    val key = (set.version, set.patterns.hashCode)
+    compiledCache.getOrElseUpdate(key, {
       if (compiledCache.size > 8) compiledCache.clear() // bound test churn
       set.patterns.map(c => FactPattern(
         java.util.regex.Pattern.compile(c.regex), c.factType, c.predicate,
         c.base, c.actionable, c.subjectGroup, c.objectGroup, c.triggers))
     })
+  }
 
   /** The built-in set: the DocTest-fixture semantics, now expressed as
     * the default CONFIG rather than compiled-in behavior.

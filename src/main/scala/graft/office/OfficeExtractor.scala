@@ -181,8 +181,12 @@ object OfficeExtractor {
       pairs = defs.flatMap { case (nm, rid) =>
         relMap.get(rid).flatMap(byName.get).map(p => (p, nm))
       }
-      // only trust the resolution when it accounts for every sheet part
-      if pairs.length == sheets.length
+      // only trust the resolution when it is a bijection onto the sheet
+      // parts: a corrupt rels part with two Relationship entries pointing
+      // at the same worksheet Target could otherwise pass a length-only
+      // check while emitting one part twice and dropping another
+      if pairs.length == sheets.length &&
+        pairs.map(_._1.name).distinct.length == sheets.length
     } yield pairs
     val ordered = resolved.getOrElse {
       val names = wb.map(w => attrValues(w.xml, "sheet", "name")).getOrElse(Seq.empty)

@@ -228,6 +228,62 @@ object DocGen {
       .map { case (id, text) => synthesizeOffice(id, text) }
   }
 
+  // ------------------------------------------------------------------ aux
+  //
+  // Third corpus family (F12 CSV + F15 universal fallback): the same
+  // documents table re-synthesized as csv payloads (even ids) and
+  // unknown-kind payloads (odd ids; three deterministic fallback tiers).
+  // Separate from the main mix and the office family so the frozen
+  // goldens and facet oracles stay untouched. No expand(): skew is the
+  // main corpus's concern — these gates verify conversion semantics.
+
+  def auxKindOf(id: Long): String = if (id % 2 == 0) "csv" else "bin"
+
+  /** Even ids: a deterministic RFC-4180-lite CSV (header + 3..7 rows,
+    * one quoted field with an embedded comma per row) whose converted
+    * `' | '`-joined text is pure arithmetic of (id, words).
+    */
+  private def synthCsv(id: Long, text: String): RawDoc = {
+    val words = text.split(" ")
+    val n = words.length
+    val nr = 3 + (id % 5).toInt
+    val rows = (0 until nr).map { i =>
+      val item = words(((id + i) % n).toInt)
+      val qty = (id * 7 + i * 3) % 100
+      val w1 = words(((id + 2 * i) % n).toInt)
+      val w2 = words(((id + 2 * i + 1) % n).toInt)
+      s"""${i + 1},$item,$qty,"$w1, $w2""""
+    }
+    val csv = ("row_id,item,qty,note" +: rows).mkString("\n")
+    RawDoc(s"doc$id", "csv", "", Seq.empty, csv, csv.length.toLong, 1)
+  }
+
+  /** Odd ids: an unknown content kind exercising every F15 tier by
+    * id % 6 ∈ {1, 3, 5} — 1: mostly-printable content (text
+    * passthrough), 3: control-char-laced content (printable-strings
+    * harvest keeps words of length ≥ 4), 5: pure control bytes (the
+    * placeholder tier).
+    */
+  private def synthBin(id: Long, text: String): RawDoc = {
+    val content = (id % 6) match {
+      case 1 => text
+      case 3 => text.split(" ").map(w => w + "\u0001" * 5).mkString
+      case _ => "\u0001\u0002\u0003" * 4
+    }
+    RawDoc(s"doc$id", "bin", "", Seq.empty, content, content.length.toLong, 1)
+  }
+
+  def synthesizeAux(id: Long, text0: String): RawDoc =
+    if (id % 2 == 0) synthCsv(id, text0) else synthBin(id, text0)
+
+  def auxRawDocs(spark: SparkSession, sfDir: String): Dataset[RawDoc] = {
+    import spark.implicits._
+    docsTable(spark, sfDir)
+      .select("doc_id", "text")
+      .as[(Long, String)]
+      .map { case (id, text) => synthesizeAux(id, text) }
+  }
+
   // ----------------------------------------------------------------- text
 
   /** E15 exercise sentence (text mode only): proper nouns that none of
