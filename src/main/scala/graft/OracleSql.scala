@@ -1527,6 +1527,26 @@ object OracleSql {
        |SELECT q_id, rank, vec_id, cos FROM r WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
   }
 
+  /** s6 oracle: compose the brute-force and IVF top-k SQL; recall =
+    * |ivf ∩ truth| / |truth| over (q_id, vec_id) pairs — both sides use
+    * the same deterministic tie-break, so the sets are well-defined.
+    */
+  def ivfRecall(nQueries: Int, k: Int): String = {
+    import graft.sim.Similarity.NProbe
+    val truth = cosineTopK(nQueries, k).stripSuffix("ORDER BY q_id, rank").trim
+    val ivf = ivfTopK(nQueries, k).stripSuffix("ORDER BY q_id, rank").trim
+    s"""WITH truth AS (SELECT q_id, vec_id FROM ($truth)),
+       |ivf AS (SELECT q_id, vec_id FROM ($ivf)),
+       |h AS (SELECT count(*) AS n FROM truth JOIN ivf USING (q_id, vec_id)),
+       |t AS (SELECT count(*) AS n FROM truth),
+       |i AS (SELECT count(*) AS n FROM ivf)
+       |SELECT $NProbe::BIGINT AS nprobe, t.n::BIGINT AS n_truth,
+       | i.n::BIGINT AS n_ivf, h.n::BIGINT AS n_hits,
+       | CASE WHEN t.n = 0 THEN 1.0 ELSE round_even(h.n::DOUBLE / t.n * 10000, 0) / 10000 END AS recall,
+       | CASE WHEN i.n = 0 THEN 1.0 ELSE round_even(h.n::DOUBLE / i.n * 10000, 0) / 10000 END AS precision
+       |FROM t, i, h""".stripMargin
+  }
+
   val labelCentroids: String =
     """SELECT label, dim, round(avg(v), 4) + 0.0 AS mean_v
       |FROM (SELECT label, unnest(embedding) AS v,

@@ -278,13 +278,41 @@ object Similarity {
     * n×k embedding-carrying rows; both current strategies assign cells
     * without that shuffle (see literalCells/joinCells).
     */
-  def ivfTopK(s: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
+  def ivfTopK(s: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
+      nProbe: Int = NProbe): DataFrame = {
     val cents = collectedCentroids(s, dir)
     val dim = cents.headOption.map(_._2.length).getOrElse(0)
     val (assigned, probes) =
-      if (cents.length * dim <= LiteralCentroidBudget) literalCells(s, dir, nQueries)
-      else joinCells(s, dir, nQueries)
+      if (cents.length * dim <= LiteralCentroidBudget) literalCells(s, dir, nQueries, nProbe)
+      else joinCells(s, dir, nQueries, nProbe)
     topKWithin(s, assigned, probes, k)
+  }
+
+  /** s6: measured IVF quality — recall of the nProbe-cell search against
+    * the s1 brute-force truth at the same (nQueries, k). The probe/recall
+    * trade-off is the entire point of IVF, so it gets the same treatment
+    * t12 gives LSH: both frames reuse the memoized centroid collection,
+    * and the compare is ONE action (full-outer join over two tiny top-k
+    * frames). Precision is reported too, though for a fixed-k ANN it
+    * only drops below recall when probed cells run short of k matches.
+    */
+  def ivfRecall(s: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
+      nProbe: Int = NProbe): DataFrame = {
+    val truth = cosineTopK(s, dir, nQueries, k).select("q_id", "vec_id")
+    val ivf = ivfTopK(s, dir, nQueries, k, nProbe).select("q_id", "vec_id")
+    val agg = truth.withColumn("in_t", lit(1))
+      .join(ivf.withColumn("in_i", lit(1)), Seq("q_id", "vec_id"), "full_outer")
+      .agg(
+        coalesce(sum(col("in_t")), lit(0L)).as("nt"),
+        coalesce(sum(col("in_i")), lit(0L)).as("ni"),
+        coalesce(sum(when(col("in_t").isNotNull && col("in_i").isNotNull, 1L)), lit(0L)).as("nh"))
+      .head()
+    val (nTruth, nIvf, nHits) = (agg.getLong(0), agg.getLong(1), agg.getLong(2))
+    import s.implicits._
+    Seq((nProbe.toLong, nTruth, nIvf, nHits,
+      if (nTruth == 0) 1.0 else math.rint(nHits.toDouble / nTruth * 10000) / 10000,
+      if (nIvf == 0) 1.0 else math.rint(nHits.toDouble / nIvf * 10000) / 10000))
+      .toDF("nprobe", "n_truth", "n_ivf", "n_hits", "recall", "precision")
   }
 
   /** Shuffle-free cell assignment: centroids baked as literal arrays,
@@ -293,7 +321,8 @@ object Similarity {
     * Valid while k·dim fits the literal budget; the only exchange left
     * in the whole query is the final top-k window.
     */
-  private def literalCells(s: SparkSession, dir: String, nQueries: Int): (DataFrame, DataFrame) = {
+  private def literalCells(s: SparkSession, dir: String, nQueries: Int,
+      nProbe: Int = NProbe): (DataFrame, DataFrame) = {
     val emb = embeddings(s, dir)
     val cands = array(collectedCentroids(s, dir).map { case (lbl, vec) =>
       val cvec = array(vec.map(lit(_)): _*)
@@ -309,7 +338,7 @@ object Similarity {
     val probes = broadcast(
       emb.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-          explode(slice(cellsDesc, 1, NProbe)).as("pc"))
+          explode(slice(cellsDesc, 1, nProbe)).as("pc"))
         .withColumn("probe_cell", -col("pc").getField("neg_label"))
         .drop("pc"))
     (assigned, probes)
@@ -322,7 +351,8 @@ object Similarity {
     * carries small rows, never the n×k embedding-carrying join output
     * (the r2 window-ranking plan this family replaced).
     */
-  private def joinCells(s: SparkSession, dir: String, nQueries: Int): (DataFrame, DataFrame) = {
+  private def joinCells(s: SparkSession, dir: String, nQueries: Int,
+      nProbe: Int = NProbe): (DataFrame, DataFrame) = {
     import s.implicits._
     val emb = embeddings(s, dir)
     val centDf = broadcast(
@@ -340,7 +370,7 @@ object Similarity {
         .groupBy(col("vec_id").as("q_id"))
         // ascending sort of (-cos, label) = cosine desc, label asc
         .agg(slice(array_sort(collect_list(struct((-col("cos_c")).as("nc"),
-          col("c_label").as("cl")))), 1, NProbe).as("top"))
+          col("c_label").as("cl")))), 1, nProbe).as("top"))
         .select(col("q_id"), explode(col("top")).as("pc"))
         .withColumn("probe_cell", col("pc").getField("cl"))
         .drop("pc")
