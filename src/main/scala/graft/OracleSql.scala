@@ -199,7 +199,8 @@ object OracleSql {
        |FROM t, l, h""".stripMargin
   }
 
-  val simhash: String = {
+  /** Shared simhash CTE chain: exposes `simq(doc_id, simhash)`. */
+  private val simhashCte: String = {
     import TextOps.SimhashBits
     val bitSums = (0 until SimhashBits).map { b =>
       val src = if (b < 31) "h1" else "h2"
@@ -209,7 +210,7 @@ object OracleSql {
     val hashSum = (0 until SimhashBits).map { b =>
       s"CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END"
     }.mkString(" + ")
-    s"""WITH toks AS (
+    s"""toks AS (
        | SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok FROM documents),
        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
        |h AS (SELECT doc_id, tf,
@@ -217,8 +218,60 @@ object OracleSql {
        |  ('0x' || substr(md5(tok), 9, 8))::BIGINT AS h2 FROM tf),
        |sums AS (SELECT doc_id,
        |  $bitSums
-       | FROM h GROUP BY doc_id)
-       |SELECT doc_id, $hashSum AS simhash FROM sums ORDER BY doc_id""".stripMargin
+       | FROM h GROUP BY doc_id),
+       |simq AS MATERIALIZED (SELECT doc_id, $hashSum AS simhash FROM sums)""".stripMargin
+  }
+
+  val simhash: String =
+    s"""WITH $simhashCte
+       |SELECT doc_id, simhash FROM simq ORDER BY doc_id""".stripMargin
+
+  /** t14 oracle: the banded hamming near-dup — same keepers / bucket-cap
+    * / verify structure as minhashLsh, generated from the same band and
+    * threshold constants the Spark plan uses.
+    */
+  def simhashDedup(maxHamming: Int): String = {
+    import TextOps.{SimhashBands, SimhashBandBits, MaxBandBucket}
+    val mask = (1L << SimhashBandBits) - 1
+    val bandSelects = (0 until SimhashBands).map { b =>
+      s"SELECT doc_id, $b AS band, (simhash >> ${b * SimhashBandBits}) & $mask AS bv FROM shk"
+    }.mkString("\n UNION ALL\n ")
+    s"""WITH $simhashCte,
+       |keepers AS (SELECT min(doc_id) AS doc_id
+       | FROM (SELECT doc_id, $fpExpr AS fp FROM documents) GROUP BY fp),
+       |shk AS (SELECT s.doc_id, s.simhash FROM simq s JOIN keepers k ON s.doc_id = k.doc_id),
+       |bands AS (
+       | $bandSelects),
+       |bsz AS (SELECT band, bv, count(*) AS n FROM bands GROUP BY 1, 2),
+       |bandsok AS (SELECT b.doc_id, b.band, b.bv FROM bands b
+       | JOIN bsz ON b.band = bsz.band AND b.bv = bsz.bv AND bsz.n <= $MaxBandBucket),
+       |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       | FROM bandsok x JOIN bandsok y
+       | ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id)
+       |SELECT c.a AS a, c.b AS b,
+       | bit_count(xor(sa.simhash, sb.simhash))::BIGINT AS hamming
+       |FROM cand c JOIN simq sa ON sa.doc_id = c.a JOIN simq sb ON sb.doc_id = c.b
+       |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= $maxHamming
+       |ORDER BY a, b""".stripMargin
+  }
+
+  /** t15 oracle: recursive components over the t14 pairs (the dupGroups
+    * pattern).
+    */
+  def simhashGroups(maxHamming: Int): String = {
+    val inner = simhashDedup(maxHamming).stripSuffix("ORDER BY a, b").trim
+    s"""WITH RECURSIVE pairs AS (SELECT a, b FROM ($inner)),
+       |dedges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+       |verts AS (SELECT DISTINCT a AS v FROM dedges),
+       |reach(doc, other) AS (
+       | SELECT v, v FROM verts
+       | UNION
+       | SELECT r.doc, e.b FROM reach r JOIN dedges e ON e.a = r.other),
+       |comp AS (SELECT doc AS doc_id, min(other) AS group_id FROM reach GROUP BY doc),
+       |sizes AS (SELECT group_id, count(*) AS group_size FROM comp GROUP BY 1)
+       |SELECT c.doc_id, c.group_id, s.group_size
+       |FROM comp c JOIN sizes s USING (group_id)
+       |ORDER BY c.doc_id""".stripMargin
   }
 
   // ------------------------------------------------- extraction facets

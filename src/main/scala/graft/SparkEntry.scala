@@ -125,6 +125,7 @@ object SparkEntry {
       timed("warm:ngram_pairs") { graft.textops.TextOps.ngramJaccard(s, dir, 0.2).count() },
       timed("warm:lsh_pairs") { graft.textops.TextOps.minhashLsh(s, dir, 0.5).count() },
       timed("warm:dup_groups") { graft.textops.TextOps.dupGroups(s, dir).count() },
+      timed("warm:simhash_pairs") { graft.textops.TextOps.simhashDedup(s, dir).count() },
       timed("warm:emb_buckets") { graft.sim.Similarity.lshBuckets(s, dir).count() },
       timed("warm:emb_pairs") { graft.sim.Similarity.embeddingDedup(s, dir, 0.40).count() },
       timed("warm:emb_groups") { graft.sim.Similarity.embeddingGroups(s, dir, 0.40).count() },
@@ -451,6 +452,8 @@ object SparkEntry {
     "t11_corpus_select" -> ((s, dir) => graft.textops.TextOps.corpusSelect(s, dir)),
     "t12_lsh_recall" -> ((s, dir) => graft.textops.TextOps.lshRecall(s, dir)),
     "t13_rolling_fp" -> ((s, dir) => graft.textops.TextOps.rollingFingerprint(s, dir)),
+    "t14_simhash_dedup" -> ((s, dir) => graft.textops.TextOps.simhashDedup(s, dir)),
+    "t15_simhash_groups" -> ((s, dir) => graft.textops.TextOps.simhashGroups(s, dir)),
 
     // ---- multimodal media columns (binary payloads; DuckDB-verified)
     "m1_media_stats" -> ((s, dir) => graft.media.MediaOps.mediaStats(s, dir)),
@@ -632,6 +635,8 @@ object SparkEntry {
     "t11_corpus_select" -> OracleSql.corpusSelect(0.5, 0.5),
     "t12_lsh_recall" -> OracleSql.lshRecall(0.5),
     "t13_rolling_fp" -> OracleSql.rollingFingerprint,
+    "t14_simhash_dedup" -> OracleSql.simhashDedup(graft.textops.TextOps.HammingMax),
+    "t15_simhash_groups" -> OracleSql.simhashGroups(graft.textops.TextOps.HammingMax),
     "m1_media_stats" -> OracleSql.mediaStats,
     "m2_image_meta" -> OracleSql.imageMeta,
     "m3_frame_sample" -> OracleSql.frameSample,

@@ -552,23 +552,113 @@ object TextOps {
     */
   val SimhashBits = 62
 
-  def simhash(s: SparkSession, dir: String): DataFrame = {
-    val toks = docs(s, dir)
-      .select(col("doc_id"), explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      .withColumn("h1", expr("cast(conv(substring(md5(tok), 1, 8), 16, 10) as bigint)"))
-      .withColumn("h2", expr("cast(conv(substring(md5(tok), 9, 8), 16, 10) as bigint)"))
-    // bit b: bits 0..30 from h1, 31..61 from h2
-    val bitSums = (0 until SimhashBits).map { b =>
-      val src = if (b < 31) col("h1") else col("h2")
-      val shift = b % 31
-      sum(when(shiftright(src, shift).bitwiseAND(1) === 1, col("tf"))
-        .otherwise(-col("tf"))).as(s"b$b")
+  /** (doc_id, simhash) — memoized per (session, dir): t8 dumps it, and
+    * the t14 banding probes it twice (band emission + pair verification).
+    */
+  private val simhashCache = new graft.util.SessionCache[DataFrame]
+
+  private def simhashFrame(s: SparkSession, dir: String): DataFrame =
+    simhashCache.getOrElseUpdate(s, dir) {
+      val toks = docs(s, dir)
+        .select(col("doc_id"), explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        .withColumn("h1", expr("cast(conv(substring(md5(tok), 1, 8), 16, 10) as bigint)"))
+        .withColumn("h2", expr("cast(conv(substring(md5(tok), 9, 8), 16, 10) as bigint)"))
+      // bit b: bits 0..30 from h1, 31..61 from h2
+      val bitSums = (0 until SimhashBits).map { b =>
+        val src = if (b < 31) col("h1") else col("h2")
+        val shift = b % 31
+        sum(when(shiftright(src, shift).bitwiseAND(1) === 1, col("tf"))
+          .otherwise(-col("tf"))).as(s"b$b")
+      }
+      val sums = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      val hashExpr = (0 until SimhashBits).map { b =>
+        when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L)
+      }.reduce(_ + _)
+      sums.select(col("doc_id"), hashExpr.as("simhash")).localCheckpoint()
     }
-    val sums = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val hashExpr = (0 until SimhashBits).map { b =>
-      when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L)
-    }.reduce(_ + _)
-    sums.select(col("doc_id"), hashExpr.as("simhash")).orderBy("doc_id")
+
+  def simhash(s: SparkSession, dir: String): DataFrame =
+    simhashFrame(s, dir).orderBy("doc_id")
+
+  // ------------------------------------------------- simhash banded dedup
+
+  /** t14 layout: 62 bits → 4 bands of 16 (the top band carries 14 live
+    * bits). Two near-dup docs at hamming distance d collide in some band
+    * unless all d differing bits spread across all four bands — the
+    * standard pigeonhole guarantee: d ≤ 3 ⇒ collision certain, and this
+    * corpus's d ≤ HammingMax pairs still collide with high probability.
+    */
+  val SimhashBands = 4
+  val SimhashBandBits = 16
+
+  /** Hamming verify threshold: ≤ 6 of 62 bits ≈ 90% bitwise agreement —
+    * the near-dup band observed between t7's jaccard-0.5 pairs and
+    * unrelated docs (hamming mode ~13) on this corpus shape.
+    */
+  val HammingMax = 6
+
+  /** t14: SimHash hamming-band near-dup — the third dedup family a
+    * training pipeline runs alongside MinHash (t7) and embedding (t9)
+    * dedup, sharing their 100 TB shape: exact-dedup-first keepers, band
+    * bucket equi-join (candidates = O(collisions), never O(n²)), the
+    * same MaxBandBucket hot-bucket cap, then exact hamming verification
+    * on exactly |candidates| pairs via bit_count(xor).
+    */
+  private val simhashPairCache = new graft.util.SessionCache[DataFrame]
+
+  def simhashDedup(s: SparkSession, dir: String, maxHamming: Int = HammingMax): DataFrame =
+    simhashPairCache.getOrElseUpdate(s, s"$dir#$maxHamming") {
+      simhashDedupUncached(s, dir, maxHamming)
+    }
+
+  private def simhashDedupUncached(s: SparkSession, dir: String, maxHamming: Int): DataFrame = {
+    val sh = simhashFrame(s, dir)
+    val shk = sh.join(exactKeepers(s, dir), Seq("doc_id"), "left_semi")
+    val bands = (0 until SimhashBands).map { b =>
+      shk.select(col("doc_id"), lit(b).as("band"),
+        shiftright(col("simhash"), b * SimhashBandBits)
+          .bitwiseAND(lit((1L << SimhashBandBits) - 1)).as("bv"))
+    }.reduce(_.unionByName(_))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bsz = bands.groupBy("band", "bv").agg(count(lit(1)).as("bsz"))
+    val nDropped = bsz.filter(col("bsz") > MaxBandBucket).count()
+    if (nDropped > 0)
+      System.err.println(
+        s"[graft] t14: dropped $nDropped simhash band buckets over cap $MaxBandBucket from candidate generation")
+    val bandsOk = bands.join(
+      bsz.filter(col("bsz") <= MaxBandBucket).select("band", "bv"),
+      Seq("band", "bv"), "left_semi")
+    val cand = bandsOk.as("x").join(bandsOk.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    val out = cand
+      .join(sh.select(col("doc_id").as("a"), col("simhash").as("sa")), Seq("a"))
+      .join(sh.select(col("doc_id").as("b"), col("simhash").as("sb")), Seq("b"))
+      .withColumn("hamming", expr("bit_count(sa ^ sb)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("a", "b", "hamming")
+      .orderBy("a", "b")
+      .localCheckpoint() // eager: pairs materialize NOW, lineage truncated
+    bands.unpersist(false)
+    out
   }
+
+  /** t15: duplicate groups over the hamming-verified pairs — the same
+    * pointer-doubling components as t10, one keeper per cluster.
+    */
+  private val simhashGroupCache = new graft.util.SessionCache[DataFrame]
+
+  def simhashGroups(s: SparkSession, dir: String, maxHamming: Int = HammingMax): DataFrame =
+    simhashGroupCache.getOrElseUpdate(s, s"$dir#$maxHamming") {
+      val pairs = simhashDedup(s, dir, maxHamming).select("a", "b")
+      val comp = connectedComponents(pairs)
+      val sizes = comp.groupBy(col("label")).agg(count(lit(1)).as("group_size"))
+      comp.join(sizes, "label")
+        .select(col("doc_id"), col("label").as("group_id"), col("group_size"))
+        .orderBy("doc_id")
+        .localCheckpoint()
+    }
 }
