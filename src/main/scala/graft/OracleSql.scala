@@ -1184,6 +1184,42 @@ object OracleSql {
        !FROM edges GROUP BY 1, 2, 3, 4
        !ORDER BY 1, 2, 3, 4""".stripMargin('!')
 
+  /** A2 disambiguation-decision oracle over the reconstructable modes:
+    * the evidence arithmetic is pinned by the synthesis — the person's
+    * "Mr. <last>" mention carries a title cue (person → 0.8) and its
+    * sentence an action verb ("approved", +0.15 → 0.95), while OSHA's
+    * safety sentence carries business-context cues ("published",
+    * "guidance": org 0.1 + 0.1 = 0.2 > person 0.1) — so the GPE acronym
+    * resolves to ORG, the evidence-driven flip the operator exists for.
+    */
+  val xDisambigCore: String =
+    s"""WITH $docSynthCte,
+       !nonpdf AS (SELECT * FROM ent WHERE (id % 10 < 5 AND NOT (id % 89 = 34 OR id % 83 = 13)) OR id % 10 >= 8),
+       !rows0 AS (
+       !  SELECT did, id, unnest(
+       !    [{'typ': 'PERSON',
+       !      'norm': (['John','Sarah','Michael','Emily','David','Jane'])[(id % 6 + 1)::INT] || ' ' ||
+       !        (['Smith','Johnson','Garcia','Chen','Patel','Brown'])[((id // 6) % 6 + 1)::INT],
+       !      'dec': 'PERSON', 'ps': 0.95::DOUBLE, 'os': 0.1::DOUBLE}] ||
+       !    CASE WHEN id % 3 = 0 THEN
+       !      [{'typ': 'GPE', 'norm': 'OSHA', 'dec': 'ORG', 'ps': 0.1::DOUBLE, 'os': 0.2::DOUBLE}]
+       !    ELSE [] END) AS d
+       !  FROM nonpdf)
+       !SELECT did AS doc_id, d['typ'] AS type, d['norm'] AS normalized,
+       !  d['dec'] AS decided_type, d['ps'] AS person_score, d['os'] AS org_score
+       !FROM rows0 ORDER BY doc_id, type, normalized""".stripMargin('!')
+
+  /** A2 corpus rollup of the same decisions. */
+  val xDisambigGlobal: String = {
+    val inner = xDisambigCore.stripSuffix("ORDER BY doc_id, type, normalized").trim
+    s"""WITH rows1 AS ($inner)
+       !SELECT type, normalized, decided_type,
+       !  count(DISTINCT doc_id) AS n_docs,
+       !  max(person_score) AS person_score, max(org_score) AS org_score
+       !FROM rows1 GROUP BY 1, 2, 3
+       !ORDER BY type, normalized, decided_type""".stripMargin('!')
+  }
+
   /** Shared E15 discovery-value CTE: the three deterministic pattern
     * hits per text-mode doc (see DocGen.discoverySentence).
     */

@@ -208,6 +208,15 @@ object SparkEntry {
     "x_mention_context_core" -> ((s, dir) =>
       graft.normalize.EntityEdges.mentionContexts(
         extracted(s, dir).filter(d => DocGen.kindOf(d.doc_id) != "pdf_blocks"))),
+    // A2 resolution: per-doc evidence-scored person/org decisions over
+    // the ambiguous canonical surfaces, plus the corpus rollup
+    "x_disambig_core" -> ((s, dir) =>
+      graft.normalize.Disambiguator.decisions(
+        extracted(s, dir).filter(docIdNum % 10 < 5 || docIdNum % 10 >= 8))),
+    "x_disambig_global" -> ((s, dir) =>
+      graft.normalize.Disambiguator.global(
+        graft.normalize.Disambiguator.decisions(
+          extracted(s, dir).filter(docIdNum % 10 < 5 || docIdNum % 10 >= 8)))),
     // normalization hash-gate over the reconstructable modes
     "x_canonical_core" -> ((s, dir) =>
       extracted(s, dir)
@@ -603,6 +612,8 @@ object SparkEntry {
     "x_discoveries_core" -> OracleSql.xDiscoveriesCore,
     "x_entity_edges_core" -> OracleSql.xEntityEdgesCore,
     "x_mention_context_core" -> OracleSql.xMentionContextCore,
+    "x_disambig_core" -> OracleSql.xDisambigCore,
+    "x_disambig_global" -> OracleSql.xDisambigGlobal,
     "x_discovery_learn_core" -> OracleSql.xDiscoveryLearnCore,
     "x_office_spans" -> OracleSql.xOfficeSpans,
     "x_csv_spans" -> OracleSql.xCsvSpans,

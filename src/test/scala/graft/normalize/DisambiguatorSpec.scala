@@ -1,0 +1,43 @@
+package graft.normalize
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Evidence-scoring unit semantics (reference
+  * `entity_disambiguator.py:180-250` ported constants).
+  */
+class DisambiguatorSpec extends AnyFunSuite {
+
+  test("bare mention keeps the extractor's prior") {
+    val d = Disambiguator.score("PERSON", Seq(("Ada Quinn", "ada quinn wrote the memo.")))
+    assert(d.decided == "PERSON")
+    assert(d.personScore == 0.3 && d.orgScore == 0.1)
+  }
+
+  test("title and action cues stack to a strong person call") {
+    val d = Disambiguator.score("PERSON",
+      Seq(("Mr. Quinn", "quinn approved the findings.")))
+    assert(d.decided == "PERSON")
+    assert(d.personScore == 0.95)
+  }
+
+  test("org suffix overrides a person prior") {
+    val d = Disambiguator.score("PERSON",
+      Seq(("Quinn Holdings", "quinn holdings acquired the plant.")))
+    assert(d.decided == "ORG")
+    assert(d.orgScore == 0.95) // 0.85 suffix + 0.1 context ("acquired")
+  }
+
+  test("business context flips an unprioried acronym to ORG") {
+    val d = Disambiguator.score("GPE",
+      Seq(("OSHA", "osha and niosh published workplace safety guidance.")))
+    assert(d.decided == "ORG")
+    assert(d.personScore == 0.1 && d.orgScore == 0.2)
+  }
+
+  test("evidence cues are idempotent across mentions") {
+    val d = Disambiguator.score("PERSON", Seq(
+      ("Mr. Quinn", "quinn approved the budget."),
+      ("Ada Quinn", "ada quinn approved the plan.")))
+    assert(d.personScore == 0.95) // title max + one action boost, not two
+  }
+}
