@@ -723,6 +723,47 @@ object OracleSql {
        !  f['confidence'] AS confidence, f['actionable'] AS actionable
        !FROM facts ORDER BY doc_id, fact_type""".stripMargin('!')
 
+  /** X2 typed-fact oracle over the reconstructable modes: the four
+    * typed CONFIG rows fire on fixed sentence templates, so subjects,
+    * objects and confidences are pure arithmetic — the causal effect
+    * clause stops at the subordinate ' under', the contact object is the
+    * synthesized phone, the event object the synthesized date, and the
+    * person_fact (title + org affiliation over the discovery sentence)
+    * exists only in text mode. Confidences are constant by token arity:
+    * 0.78+0.05 (4-word effect), 0.82+0.05+0.05, 0.8+0.05+0.05,
+    * 0.8+0.05 (1-word surname).
+    */
+  val xTypedFactsCore: String =
+    s"""WITH $docSynthCte,
+       !nonpdf AS (SELECT * FROM ent WHERE (id % 10 < 5 AND NOT (id % 89 = 34 OR id % 83 = 13))
+       !  OR id % 10 >= 8),
+       !tf AS (
+       !  SELECT did, id, unnest([
+       !    {'fact_type': 'causal', 'subject': 'Violations', 'predicate': 'RESULTS_IN',
+       !     'obj': 'a penalty of $$' || format('{:,}', (id % 90 + 10) * 250),
+       !     'confidence': 0.83, 'actionable': false},
+       !    {'fact_type': 'contact_info',
+       !     'subject': (['John','Sarah','Michael','Emily','David','Jane'])[(id % 6 + 1)::INT] || ' ' ||
+       !       (['Smith','Johnson','Garcia','Chen','Patel','Brown'])[((id // 6) % 6 + 1)::INT],
+       !     'predicate': 'HAS_PHONE',
+       !     'obj': '(555) ' || (100 + id % 900) || '-' || (1000 + id % 9000),
+       !     'confidence': 0.92, 'actionable': false},
+       !    {'fact_type': 'event', 'subject': 'The inspection', 'predicate': 'SCHEDULED_FOR',
+       !     'obj': (['January','February','March','April','June','July','August','September','October','November'])[(id % 10 + 1)::INT]
+       !       || ' ' || (id % 28 + 1) || ', ' || (2020 + id % 6),
+       !     'confidence': 0.9, 'actionable': true}] ||
+       !    CASE WHEN id % 10 >= 8 THEN [
+       !      {'fact_type': 'person_fact',
+       !       'subject': (['Wexford','Tarlow','Quimby','Ashford'])[(id % 4 + 1)::INT],
+       !       'predicate': 'AFFILIATED_WITH',
+       !       'obj': 'the Department of ' || (['Harborview','Glenfield','Marwick','Ostrander'])[((id // 4) % 4 + 1)::INT],
+       !       'confidence': 0.85, 'actionable': false}] ELSE [] END) AS f
+       !  FROM nonpdf)
+       !SELECT did AS doc_id, f['fact_type'] AS fact_type, f['subject'] AS subject,
+       !  f['predicate'] AS predicate, f['obj'] AS object,
+       !  f['confidence'] AS confidence, f['actionable'] AS actionable
+       !FROM tf ORDER BY doc_id, fact_type""".stripMargin('!')
+
   /** N1-N10 canonicalization oracle over the reconstructable modes:
     * every non-pdf doc canonicalizes to the same 10 (9 without the
     * safety sentence) entities with arithmetic normalized forms — ISO

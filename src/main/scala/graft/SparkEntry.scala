@@ -242,6 +242,26 @@ object SparkEntry {
           col("f.object").as("object"), col("f.confidence").as("confidence"),
           col("f.actionable").as("actionable"))
         .orderBy(col("doc_id"), col("fact_type"))),
+    // X2 typed-fact breadth shipped as X3 CONFIG rows: the same SPO
+    // engine with the typedPatterns set installed, gating only the NEW
+    // fact types (the builtin rows stay x_facts_core's gate). Runs over
+    // the cached extraction's spans — same clean text as the pipeline.
+    "x_typed_facts_core" -> ((s, dir) => {
+      import s.implicits._
+      extracted(s, dir)
+        .filter(d => DocGen.kindOf(d.doc_id) != "pdf_blocks")
+        .flatMap { d =>
+          val clean = graft.extract.Core8Extractor.truncate(
+            graft.extract.Core8Extractor.cleanFormatting(d.spans.map(_.text).mkString("\n")))
+          graft.facts.SpoExtractor.extract(clean, graft.facts.SpoExtractor.typedPatterns)
+            .filter(f => graft.facts.SpoExtractor.typedFactTypes.contains(f.fact_type))
+            .map(f => (d.doc_id, f.fact_type, f.subject, f.predicate,
+              f.`object`, f.confidence, f.actionable))
+        }
+        .toDF("doc_id", "fact_type", "subject", "predicate", "object",
+          "confidence", "actionable")
+        .orderBy(col("doc_id"), col("fact_type"))
+    }),
     "x_rejects" -> ((s, dir) =>
       extracted(s, dir).filter(!col("success"))
         .select(col("doc_id"), col("error")).orderBy(col("doc_id"))),
@@ -624,6 +644,7 @@ object SparkEntry {
     "x_domain_entities" -> OracleSql.xDomainEntities,
     "x_entities_core" -> OracleSql.xEntitiesCore,
     "x_facts_core" -> OracleSql.xFactsCore,
+    "x_typed_facts_core" -> OracleSql.xTypedFactsCore,
     "x_canonical_core" -> OracleSql.xCanonicalCore,
     "x_normalized_core" -> OracleSql.xNormalizedCore,
     "x_global_core" -> OracleSql.xGlobalCore,

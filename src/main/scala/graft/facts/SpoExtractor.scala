@@ -126,6 +126,44 @@ object SpoExtractor {
       "(?i)\\b([A-Z][\\w ,'-]{2,60}?)\\s+(?:was|were)\\s+(approved|rejected|completed|issued|filed|submitted|inspected|reviewed)\\s+by\\s+([\\w ,'.-]{3,60}?)(?:\\.|$|;)",
       "action", "ACTED_ON_BY", 0.77, actionable = false, 1, 3, Seq(Seq("was", "were"), Seq(" by")))))
 
+  /** X2: the typed-fact breadth of the reference's SemanticFactExtractor
+    * (`mvp-fusion/knowledge/extractors/semantic_fact_extractor.py:59-168` —
+    * the ContactInfo, EventFact, CausalFact and PersonFact dataclasses),
+    * shipped the way X3 intends new coverage to ship: additional CONFIG
+    * rows over the same engine, not new code. The reference keeps this
+    * extractor separate from the standalone intelligent extractor
+    * (X1 vs X2), so the typed set is a distinct installable bundle
+    * (builtin rows + four typed rows) rather than a change to the
+    * default semantics — swap it in via `extract(clean, typedPatterns)`.
+    */
+  val typedPatterns: SpoPatternSet = SpoPatternSet("typed-v1",
+    defaultPatterns.patterns ++ Seq(
+      // ContactInfo: "Contact <Name> at <phone>" -> entity + contact_value
+      SpoPatternConfig("contact_info",
+        "(?i)\\bcontact\\s+([A-Z][\\w .'-]{2,60}?)\\s+at\\s+(\\(\\d{3}\\)\\s?\\d{3}-\\d{4})",
+        "contact_info", "HAS_PHONE", 0.82, actionable = false, 1, 2,
+        Seq(Seq("contact"), Seq("("))),
+      // EventFact: "<event> is/are scheduled for <Month D, YYYY>"
+      SpoPatternConfig("event_scheduled",
+        "(?i)\\b([A-Z][\\w ,'-]{2,60}?)\\s+(?:is|are)\\s+scheduled\\s+for\\s+([A-Z][a-z]+\\s+\\d{1,2},\\s+\\d{4})",
+        "event", "SCHEDULED_FOR", 0.8, actionable = true, 1, 2,
+        Seq(Seq("scheduled"))),
+      // CausalFact: "<cause> carry/carries <effect>" (effect clause ends
+      // at a subordinate 'under', sentence end, or ';')
+      SpoPatternConfig("causal_carry",
+        "(?i)\\b([A-Z][\\w ,'-]{2,60}?)\\s+carr(?:y|ies)\\s+([\\w ,.$\\u20ac\\u00a3]{3,160}?)(?:\\s+under\\b|\\.|$|;)",
+        "causal", "RESULTS_IN", 0.78, actionable = false, 1, 2,
+        Seq(Seq("carry", "carries"))),
+      // PersonFact: "<Title> <Name> of <the Org> <verb>" -> name + org
+      // affiliation (titles case-sensitive: they gate the proper noun)
+      SpoPatternConfig("person_role",
+        "\\b(?:President|Chairman|Director|Secretary|Governor)\\s+([A-Z][a-z]+)\\s+of\\s+(the\\s+[A-Z][\\w ]{2,60}?)\\s+(?:visited|announced|said|stated|approved)\\b",
+        "person_fact", "AFFILIATED_WITH", 0.8, actionable = false, 1, 2,
+        Seq(Seq("president", "chairman", "director", "secretary", "governor")))))
+
+  /** The fact types only `typedPatterns` produces (the X2 breadth). */
+  val typedFactTypes: Set[String] = Set("contact_info", "event", "causal", "person_fact")
+
   /** Quality gate mirroring `_is_high_quality_fact`: complete thought
     * (ends at sentence-ish boundary), informative lengths, not all
     * stopwords.
