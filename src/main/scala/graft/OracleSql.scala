@@ -455,6 +455,18 @@ object OracleSql {
        !  unnest(spans, recursive := true)
        !FROM hspans ORDER BY doc_id, "offset"""".stripMargin('!')
 
+  /** Streaming parity oracle: the replayed stream must emit exactly the
+    * batch span rows, i.e. the UNION of the three per-mode span
+    * reconstructions (rejected docs emit no spans in any mode).
+    * DuckDB scopes each mode's CTE chain inside its own subquery, so
+    * the shared synthesis CTE names don't collide.
+    */
+  val xStreamSpans: String =
+    s"""SELECT * FROM ($xTextSpans) tq
+       !UNION ALL SELECT * FROM ($xPdfSpans) pq
+       !UNION ALL SELECT * FROM ($xHtmlSpans) hq
+       !ORDER BY doc_id, "offset"""".stripMargin('!')
+
   // --------------------------------------- classification facet oracles
   //
   // The classifier's weighted-AC scoring re-expressed as SQL generated

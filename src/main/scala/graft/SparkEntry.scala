@@ -137,6 +137,13 @@ object SparkEntry {
     "x_html_spans" -> ((s, dir) => spansOf(extractedOfKind(s, dir, "html"))),
     "x_pdf_spans" -> ((s, dir) => spansOf(extractedOfKind(s, dir, "pdf_blocks"))),
     "x_text_spans" -> ((s, dir) => spansOf(extractedOfKind(s, dir, "text"))),
+    // streaming parity gate: the flagship extraction replayed through a
+    // MemoryStream child session (the q18 pattern) must emit exactly the
+    // batch span rows — the oracle is the UNION of the three per-mode
+    // span reconstructions, so stream == batch is proven through an
+    // independent DuckDB re-derivation rather than self-comparison
+    "x_stream_spans" -> ((s, dir) =>
+      graft.streaming.DocStream.spanReplay(s, DocGen.rawDocs(s, dir))),
     "x_office_spans" -> ((s, dir) => spansOf(officeExtracted(s, dir))),
     // F12 csv conversion + F15 universal fallback, each hash-gated by a
     // reconstruction oracle over the aux corpus (even ids = csv, odd =
@@ -655,6 +662,7 @@ object SparkEntry {
     "x_content_flags" -> OracleSql.xContentFlags,
     "x_pdf_spans" -> OracleSql.xPdfSpans,
     "x_html_spans" -> OracleSql.xHtmlSpans,
+    "x_stream_spans" -> OracleSql.xStreamSpans,
     "t1_token_count" -> OracleSql.tokenCount,
     "t2_quality_score" -> OracleSql.qualityScore,
     "t3_lang_id" -> OracleSql.langId,

@@ -25,4 +25,41 @@ object DocStream {
     import spark.implicits._
     raw.mapPartitions(_.map(ExtractionPipeline.processDoc))
   }
+
+  /** Stream/batch parity replay harness (the q18 pattern): drive the raw
+    * corpus through a MemoryStream micro-batch by micro-batch in a child
+    * session and return the exploded span rows from the memory sink —
+    * gated against the same reconstruction oracles as the batch span
+    * facets, so streaming and batch extraction are proven equal through
+    * an independent third reconstruction.
+    *
+    * Stateless transform — no watermark or state store. The repartition
+    * spreads each micro-batch across the full worker width: a
+    * MemoryStream batch arrives as one driver block, which would
+    * otherwise serialize the extraction CPU. The collect() is the replay
+    * harness's cost (same as q18's event replay); production uses the
+    * readStream file/Kafka shape in the scaladoc above and never
+    * touches the driver.
+    */
+  def spanReplay(spark: SparkSession, raw: Dataset[RawDoc], numBatches: Int = 6): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, explode}
+    val docs = raw.collect()
+    require(docs.nonEmpty, "no docs to replay")
+    val width = spark.sparkContext.defaultParallelism
+    val ss = spark.newSession()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
+    import ss.implicits._
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[RawDoc]
+    val name = "stream_spans_sink"
+    val q = extract(ss, stream.toDS().repartition(width))
+      .select(col("doc_id"), explode(col("spans")).as("sp"))
+      .select(col("doc_id"), col("sp.offset").as("offset"), col("sp.kind").as("kind"),
+        col("sp.text").as("text"), col("sp.media_ref").as("media_ref"))
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      val chunk = math.max(1, docs.length / numBatches + 1)
+      docs.grouped(chunk).foreach { c => stream.addData(c.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    ss.table(name).orderBy(col("doc_id"), col("offset"))
+  }
 }
