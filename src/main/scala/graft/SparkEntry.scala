@@ -70,18 +70,73 @@ object SparkEntry {
       ds
     }
 
+  /** Gazetteer realism tier: the full pipeline re-run under a
+    * 430k-pattern corpus bundle (the reference's name-corpus scale,
+    * `knowledge/corpus/foundation_data/`: 429K first / 99K last names),
+    * exercising generate → persist parquet → loadVersioned
+    * (snapshot-hash) → broadcast → per-JVM automaton build end-to-end.
+    * The tier is hermetic w.r.t. the synthesis fixtures (pinned by
+    * CorpusTableSpec), so the SAME reconstruction oracles gate this
+    * run — installing 430k patterns must change nothing on fixture
+    * text while the automaton path runs at reference scale.
+    */
+  val BigTierTarget = 430000
+
+  private val bigExtractedCache = new graft.util.SessionCache[Dataset[ExtractedDoc]]
+
+  private def bigExtracted(s: SparkSession, dir: String): Dataset[ExtractedDoc] =
+    bigExtractedCache.getOrElseUpdate(s, dir) {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-corpus-big").toString
+      graft.matching.CorpusGen.rowsAt(BigTierTarget).toDF("kind", "value", "meta")
+        .write.mode("overwrite").parquet(s"$tmp/corpus.parquet")
+      val bundle = graft.matching.CorpusTable.loadVersioned(
+        s, s.read.parquet(s"$tmp/corpus.parquet"))
+      // run() captures the driver's active bundle eagerly, so the
+      // install/restore window only needs to span the run() call; the
+      // broadcast keeps the big bundle alive for lazy task execution
+      val prev = graft.matching.Corpora.bundle
+      graft.matching.Corpora.install(bundle)
+      try {
+        val ds = ExtractionPipeline.run(s, DocGen.rawDocs(s, dir))
+        ds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // materialize NOW: local mode shares one JVM, so later
+        // builtin-bundle queries must not interleave with lazy
+        // big-bundle partitions (production executors never alternate
+        // bundles — one active bundle per application)
+        ds.count()
+        ds
+      } finally graft.matching.Corpora.install(prev)
+    }
+
   /** Column-level doc-id arithmetic (doc_id = "doc<id>"): keeps facet
     * filters inside codegen instead of deserializing ExtractedDoc objects
     * for a typed lambda.
     */
   private def docIdNum = expr("CAST(substring(doc_id, 4) AS BIGINT)")
 
-  private def extractedOfKind(s: SparkSession, dir: String, kind: String): Dataset[ExtractedDoc] = {
-    import s.implicits._
+  /** DocGen's mode split (`kindOf`) restated as COLUMN predicates. A
+    * typed lambda filter would deserialize every ExtractedDoc from the
+    * columnar cache — all facet columns, including the heavy
+    * span/entity/fact arrays — just to read the doc id; these keep the
+    * facet predicate inside codegen so the InMemoryTableScan prunes to
+    * exactly the columns the facet projects.
+    */
+  private def kindCol(kind: String) = {
+    val mode = docIdNum % 10
+    kind match {
+      case "html"       => mode < 5
+      case "pdf_blocks" => mode >= 5 && mode < 8
+      case _            => mode >= 8
+    }
+  }
+
+  private def nonPdfCol = !kindCol("pdf_blocks")
+
+  private def extractedOfKind(s: SparkSession, dir: String, kind: String): Dataset[ExtractedDoc] =
     // content_kind is a pure function of the numeric doc id (DocGen mix),
     // so filter the cached full extraction instead of re-running it
-    extracted(s, dir).filter(d => DocGen.kindOf(d.doc_id) == kind)
-  }
+    extracted(s, dir).filter(kindCol(kind))
 
   private def spansOf(ds: Dataset[ExtractedDoc]): DataFrame =
     ds.select(col("doc_id"), explode(col("spans")).as("s"))
@@ -121,6 +176,7 @@ object SparkEntry {
       timed("warm:extract") { extracted(s, dir).count() },
       timed("warm:office") { officeExtracted(s, dir).count() },
       timed("warm:aux") { auxExtracted(s, dir).count() },
+      timed("warm:big_corpus") { bigExtracted(s, dir).count() },
       timed("warm:shingles") { graft.textops.TextOps.shingles(s, dir).count() },
       timed("warm:ngram_pairs") { graft.textops.TextOps.ngramJaccard(s, dir, 0.2).count() },
       timed("warm:lsh_pairs") { graft.textops.TextOps.minhashLsh(s, dir, 0.5).count() },
@@ -184,11 +240,27 @@ object SparkEntry {
     // (html + text; pdf chunking mangles entity surface — see oracle doc)
     "x_entities_core" -> ((s, dir) =>
       extracted(s, dir)
-        .filter(d => DocGen.kindOf(d.doc_id) != "pdf_blocks")
+        .filter(nonPdfCol)
         .select(col("doc_id"), explode(col("entities")).as("e"))
         .select(col("doc_id"), col("e.type").as("type"), col("e.value").as("value"),
           col("e.start").as("start"), col("e.end").as("end"))
         .orderBy(col("doc_id"), col("start"), col("type"))),
+    // the same two gazetteer-sensitive facets under the 430k tier —
+    // gated by the SAME oracle SQL (hermetic tier => identical results)
+    "x_big_entities_core" -> ((s, dir) =>
+      bigExtracted(s, dir)
+        .filter(nonPdfCol)
+        .select(col("doc_id"), explode(col("entities")).as("e"))
+        .select(col("doc_id"), col("e.type").as("type"), col("e.value").as("value"),
+          col("e.start").as("start"), col("e.end").as("end"))
+        .orderBy(col("doc_id"), col("start"), col("type"))),
+    "x_big_canonical_core" -> ((s, dir) =>
+      bigExtracted(s, dir)
+        .filter(nonPdfCol)
+        .select(col("doc_id"), explode(col("canonical_entities")).as("c"))
+        .select(col("doc_id"), col("c.id").as("id"), col("c.type").as("type"),
+          col("c.normalized").as("normalized"), col("c.count").as("count"))
+        .orderBy(col("doc_id"), col("id"))),
     "x_canonical_entities" -> ((s, dir) =>
       extracted(s, dir).select(col("doc_id"), explode(col("canonical_entities")).as("c"))
         .select(col("doc_id"), col("c.id").as("id"), col("c.type").as("type"),
@@ -202,19 +274,19 @@ object SparkEntry {
     // reconstructable modes (see x_canonical_core)
     "x_global_core" -> ((s, dir) =>
       graft.normalize.CorpusCanonical.globalEntities(
-        extracted(s, dir).filter(d => DocGen.kindOf(d.doc_id) != "pdf_blocks"))),
+        extracted(s, dir).filter(nonPdfCol))),
     // A2 mention-context half: sentence-window co-occurrence edges
     // between canonical entities, corpus-aggregated (EntityEdges)
     "x_entity_edges" -> ((s, dir) =>
       graft.normalize.EntityEdges.edges(extracted(s, dir))),
     "x_entity_edges_core" -> ((s, dir) =>
       graft.normalize.EntityEdges.edges(
-        extracted(s, dir).filter(d => DocGen.kindOf(d.doc_id) != "pdf_blocks"))),
+        extracted(s, dir).filter(nonPdfCol))),
     // per-mention ±50-char context windows (the disambiguator's raw
     // material), hash-gated over the reconstructable modes
     "x_mention_context_core" -> ((s, dir) =>
       graft.normalize.EntityEdges.mentionContexts(
-        extracted(s, dir).filter(d => DocGen.kindOf(d.doc_id) != "pdf_blocks"))),
+        extracted(s, dir).filter(nonPdfCol))),
     // A2 resolution: per-doc evidence-scored person/org decisions over
     // the ambiguous canonical surfaces, plus the corpus rollup
     "x_disambig_core" -> ((s, dir) =>
@@ -227,7 +299,7 @@ object SparkEntry {
     // normalization hash-gate over the reconstructable modes
     "x_canonical_core" -> ((s, dir) =>
       extracted(s, dir)
-        .filter(d => DocGen.kindOf(d.doc_id) != "pdf_blocks")
+        .filter(nonPdfCol)
         .select(col("doc_id"), explode(col("canonical_entities")).as("c"))
         .select(col("doc_id"), col("c.id").as("id"), col("c.type").as("type"),
           col("c.normalized").as("normalized"), col("c.count").as("count"))
@@ -242,7 +314,7 @@ object SparkEntry {
     // SPO fact hash-gate over the reconstructable modes (see x_entities_core)
     "x_facts_core" -> ((s, dir) =>
       extracted(s, dir)
-        .filter(d => DocGen.kindOf(d.doc_id) != "pdf_blocks")
+        .filter(nonPdfCol)
         .select(col("doc_id"), explode(col("facts")).as("f"))
         .select(col("doc_id"), col("f.fact_type").as("fact_type"),
           col("f.subject").as("subject"), col("f.predicate").as("predicate"),
@@ -256,13 +328,15 @@ object SparkEntry {
     "x_typed_facts_core" -> ((s, dir) => {
       import s.implicits._
       extracted(s, dir)
-        .filter(d => DocGen.kindOf(d.doc_id) != "pdf_blocks")
-        .flatMap { d =>
+        .filter(nonPdfCol)
+        .select(col("doc_id"), col("spans.text").as("texts"))
+        .as[(String, Seq[String])]
+        .flatMap { case (id, texts) =>
           val clean = graft.extract.Core8Extractor.truncate(
-            graft.extract.Core8Extractor.cleanFormatting(d.spans.map(_.text).mkString("\n")))
+            graft.extract.Core8Extractor.cleanFormatting(texts.mkString("\n")))
           graft.facts.SpoExtractor.extract(clean, graft.facts.SpoExtractor.typedPatterns)
             .filter(f => graft.facts.SpoExtractor.typedFactTypes.contains(f.fact_type))
-            .map(f => (d.doc_id, f.fact_type, f.subject, f.predicate,
+            .map(f => (id, f.fact_type, f.subject, f.predicate,
               f.`object`, f.confidence, f.actionable))
         }
         .toDF("doc_id", "fact_type", "subject", "predicate", "object",
@@ -277,12 +351,12 @@ object SparkEntry {
     // the reference — exercised here as its own facet)
     "x_discoveries_core" -> ((s, dir) =>
       graft.extract.GapDiscovery.discoverAll(
-        extracted(s, dir).filter(d => DocGen.kindOf(d.doc_id) != "pdf_blocks"))
+        extracted(s, dir).filter(nonPdfCol))
         .orderBy(col("doc_id"), col("start"))),
     "x_discovery_learn_core" -> ((s, dir) =>
       graft.extract.GapDiscovery.learningCandidates(
         graft.extract.GapDiscovery.discoverAll(
-          extracted(s, dir).filter(d => DocGen.kindOf(d.doc_id) != "pdf_blocks")),
+          extracted(s, dir).filter(nonPdfCol)),
         threshold = 0.85, minDocs = 2)
         .orderBy(col("kind"), col("value"))),
     "x_domain_entities" -> ((s, dir) =>
@@ -291,10 +365,14 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("domain_entity"))),
     "x_fact_summary" -> ((s, dir) => {
       import s.implicits._
+      // select BEFORE the typed map: the summary reads only (doc_id,
+      // facts), so let the cache scan prune the other facet columns
       extracted(s, dir)
-        .map { d =>
-          val sm = graft.facts.SpoExtractor.summarize(d.facts)
-          (d.doc_id, sm.total_facts.toLong, sm.actionable_facts.toLong,
+        .select(col("doc_id"), col("facts"))
+        .as[(String, Seq[graft.model.Fact])]
+        .map { case (id, facts) =>
+          val sm = graft.facts.SpoExtractor.summarize(facts)
+          (id, sm.total_facts.toLong, sm.actionable_facts.toLong,
             sm.fact_types.toSeq.sorted.map { case (k, v) => s"$k:$v" }.mkString(","))
         }
         .toDF("doc_id", "total_facts", "actionable_facts", "fact_types")
@@ -302,13 +380,16 @@ object SparkEntry {
     }),
     "x_normalized_text" -> ((s, dir) => {
       import s.implicits._
-      // N11 global replacement + N12 stats on the pipeline's clean text
+      // N11 global replacement + N12 stats on the pipeline's clean text;
+      // only (doc_id, span texts, entities) are read — prune the rest
       extracted(s, dir)
-        .map { d =>
+        .select(col("doc_id"), col("spans.text").as("texts"), col("entities"))
+        .as[(String, Seq[String], Seq[graft.model.EntityMention])]
+        .map { case (id, texts, entities) =>
           val clean = graft.extract.Core8Extractor.truncate(
-            graft.extract.Core8Extractor.cleanFormatting(d.spans.map(_.text).mkString("\n")))
-          val r = graft.normalize.Normalizer.run(clean, d.entities)
-          (d.doc_id, r.mentionCount.toLong, r.canonicalCount.toLong, r.reductionPct,
+            graft.extract.Core8Extractor.cleanFormatting(texts.mkString("\n")))
+          val r = graft.normalize.Normalizer.run(clean, entities)
+          (id, r.mentionCount.toLong, r.canonicalCount.toLong, r.reductionPct,
             r.normalizedText.length.toLong)
         }
         .toDF("doc_id", "mentions", "canonical", "reduction_pct", "norm_len")
@@ -317,10 +398,12 @@ object SparkEntry {
     "x_fact_summary_core" -> ((s, dir) => {
       import s.implicits._
       extracted(s, dir)
-        .filter(d => DocGen.kindOf(d.doc_id) != "pdf_blocks")
-        .map { d =>
-          val sm = graft.facts.SpoExtractor.summarize(d.facts)
-          (d.doc_id, sm.total_facts.toLong, sm.actionable_facts.toLong,
+        .filter(nonPdfCol)
+        .select(col("doc_id"), col("facts"))
+        .as[(String, Seq[graft.model.Fact])]
+        .map { case (id, facts) =>
+          val sm = graft.facts.SpoExtractor.summarize(facts)
+          (id, sm.total_facts.toLong, sm.actionable_facts.toLong,
             sm.fact_types.toSeq.sorted.map { case (k, v) => s"$k:$v" }.mkString(","))
         }
         .toDF("doc_id", "total_facts", "actionable_facts", "fact_types")
@@ -329,12 +412,14 @@ object SparkEntry {
     "x_normalized_core" -> ((s, dir) => {
       import s.implicits._
       extracted(s, dir)
-        .filter(d => DocGen.kindOf(d.doc_id) != "pdf_blocks")
-        .map { d =>
+        .filter(nonPdfCol)
+        .select(col("doc_id"), col("spans.text").as("texts"), col("entities"))
+        .as[(String, Seq[String], Seq[graft.model.EntityMention])]
+        .map { case (id, texts, entities) =>
           val clean = graft.extract.Core8Extractor.truncate(
-            graft.extract.Core8Extractor.cleanFormatting(d.spans.map(_.text).mkString("\n")))
-          val r = graft.normalize.Normalizer.run(clean, d.entities)
-          (d.doc_id, r.mentionCount.toLong, r.canonicalCount.toLong, r.reductionPct,
+            graft.extract.Core8Extractor.cleanFormatting(texts.mkString("\n")))
+          val r = graft.normalize.Normalizer.run(clean, entities)
+          (id, r.mentionCount.toLong, r.canonicalCount.toLong, r.reductionPct,
             r.normalizedText.length.toLong)
         }
         .toDF("doc_id", "mentions", "canonical", "reduction_pct", "norm_len")
@@ -362,7 +447,7 @@ object SparkEntry {
     "x_markdown_core" -> ((s, dir) => {
       import s.implicits._
       extracted(s, dir)
-        .filter(d => DocGen.kindOf(d.doc_id) != "pdf_blocks")
+        .filter(nonPdfCol)
         .map(d => (d.doc_id, graft.output.Assembly.assembleMarkdown(d)))
         .toDF("doc_id", "markdown")
         .select(col("doc_id"), length(col("markdown")).as("md_len"),
@@ -373,7 +458,7 @@ object SparkEntry {
     "x_knowledge_core" -> ((s, dir) => {
       import s.implicits._
       extracted(s, dir)
-        .filter(d => DocGen.kindOf(d.doc_id) != "pdf_blocks")
+        .filter(nonPdfCol)
         .map(d => (d.doc_id, graft.output.Assembly.knowledgeJson(d)))
         .toDF("doc_id", "knowledge")
         .select(col("doc_id"), length(col("knowledge")).as("json_len"),
@@ -650,6 +735,8 @@ object SparkEntry {
     "x_classify" -> OracleSql.xClassify,
     "x_domain_entities" -> OracleSql.xDomainEntities,
     "x_entities_core" -> OracleSql.xEntitiesCore,
+    "x_big_entities_core" -> OracleSql.xEntitiesCore,
+    "x_big_canonical_core" -> OracleSql.xCanonicalCore,
     "x_facts_core" -> OracleSql.xFactsCore,
     "x_typed_facts_core" -> OracleSql.xTypedFactsCore,
     "x_canonical_core" -> OracleSql.xCanonicalCore,

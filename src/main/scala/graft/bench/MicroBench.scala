@@ -26,6 +26,33 @@ object MicroBench {
       (0 until 40 + i % 60).map(j => words((i + j) % words.size)).mkString(" ") + "."
     }
     val docs = (0 until nDocs).map(i => DocGen.synthesize(i.toLong, baseTexts(i % 500))).toArray
+
+    // GRAFT_BIG_CORPUS=<n>: generate an n-pattern gazetteer tier, time
+    // the one-time per-executor costs (row synthesis, bundle build,
+    // surname-automaton compile), install it, and run the thread sweep
+    // under it — extraction throughput at the reference's 429K-name
+    // corpus scale instead of the built-in seed.
+    sys.env.get("GRAFT_BIG_CORPUS").map(_.toInt).foreach { target =>
+      def timed[A](f: => A): (A, Double) = {
+        val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+      }
+      val (rows, tGen) = timed(graft.matching.CorpusGen.rowsAt(target))
+      val (bundle, tBundle) = timed(
+        graft.matching.CorpusTable.fromRows(s"micro-big-$target", rows))
+      graft.matching.Corpora.install(bundle)
+      // first extract compiles the bundle's org/gpe/loc automatons
+      // (surnames are hash-set lookups — no automaton on the hot path)
+      val (_, tFirst) = timed(graft.extract.Core8Extractor.extractAll(
+        "Contact John Smith regarding the audit."))
+      // the generic E20 engine AT the 430k-pattern scale: what a
+      // gazetteer that large costs per executor JVM if matched via AC
+      val acKey = s"micro.big.${bundle.version}"
+      val (_, tAc) = timed(
+        graft.matching.AhoCorasick.cached(acKey, bundle.lastNames.toSeq.sorted))
+      graft.matching.AhoCorasick.evict(_ == acKey)
+      println(f"""{"big_corpus":{"patterns":${bundle.lastNames.size},"gen_sec":$tGen%.2f,"bundle_sec":$tBundle%.2f,"first_extract_sec":$tFirst%.2f,"ac_build_430k_sec":$tAc%.2f}}""")
+    }
+
     // warmup
     docs.take(4000).foreach(ExtractionPipeline.processDoc)
 

@@ -105,12 +105,19 @@ object GapDiscovery {
   def discoverAll(extracted: Dataset[ExtractedDoc]): DataFrame = {
     val spark = extracted.sparkSession
     import spark.implicits._
-    extracted.flatMap { d =>
-      val clean = Core8Extractor.truncate(
-        Core8Extractor.cleanFormatting(d.spans.map(_.text).mkString("\n")))
-      discover(clean, d.entities).map(x =>
-        (d.doc_id, x.entity_type, x.text, x.confidence, x.start, x.end, x.pattern))
-    }.toDF("doc_id", "type", "text", "confidence", "start", "end", "pattern")
+    // select the three read columns before the typed lambda so the
+    // columnar cache scan prunes the rest (facts, canonical, meta)
+    extracted
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("spans.text").as("texts"),
+        org.apache.spark.sql.functions.col("entities"))
+      .as[(String, Seq[String], Seq[graft.model.EntityMention])]
+      .flatMap { case (docId, texts, entities) =>
+        val clean = Core8Extractor.truncate(
+          Core8Extractor.cleanFormatting(texts.mkString("\n")))
+        discover(clean, entities).map(x =>
+          (docId, x.entity_type, x.text, x.confidence, x.start, x.end, x.pattern))
+      }.toDF("doc_id", "type", "text", "confidence", "start", "end", "pattern")
   }
 
   /** The distributed learning step: discoveries seen in >= minDocs

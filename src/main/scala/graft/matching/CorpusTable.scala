@@ -180,6 +180,16 @@ object CorpusGen {
         yield a + c
       it2.takeWhile(_ => out.size < target).foreach(out += _)
     }
+    // third tier for the reference's full 429K scale: base-pair
+    // compounds crossed with the suffix morphology (capacity ~10^6).
+    // Ordered AFTER it1/it2 so every smaller tier is a prefix of a
+    // larger one — rowsAt(100000) is unchanged by this extension.
+    if (out.size < target) {
+      val it3 = for (s <- suffixes.iterator; a <- bases.iterator;
+          c <- bases.iterator if a != c)
+        yield a + c + s
+      it3.takeWhile(_ => out.size < target).foreach(out += _)
+    }
     out.toSeq
   }
 

@@ -76,32 +76,39 @@ object Disambiguator {
     entityType == "PERSON" || entityType == "ORG" ||
       (entityType == "GPE" && normalized.matches("[A-Z]{2,}"))
 
-  /** Per-doc disambiguation decisions over the canonical entities. */
+  /** Per-doc disambiguation decisions over the canonical entities.
+    * Reads only (doc_id, span texts, canonical entities) — selected
+    * before the typed lambda so the columnar cache scan prunes the
+    * unused heavy columns instead of deserializing whole docs.
+    */
   def decisions(extracted: Dataset[ExtractedDoc]): DataFrame = {
     val spark = extracted.sparkSession
     import spark.implicits._
-    extracted.flatMap { d =>
-      val clean = Core8Extractor.truncate(
-        Core8Extractor.cleanFormatting(d.spans.map(_.text).mkString("\n")))
-      val sents = Core8Extractor.splitSentences(clean)
-      // all sentences OVERLAPPING the mention span, joined — a mention
-      // whose title prefix lands in a dropped short fragment ("Mr.")
-      // still sees the sentence carrying its verb (EntityEdges' overlap
-      // predicate)
-      def windowOf(start: Int, end: Int): String =
-        sents.filter { case (s, st) => start < st + s.length && st < end }
-          .map(_._1).mkString(" ")
-      d.canonical_entities
-        .filter(c => isCandidate(c.`type`, c.normalized))
-        .map { c =>
-          // whitespace folded to spaces so a cue spanning a line break
-          // behaves like the regexes it stands in for (SpoExtractor gate)
-          val ms = c.mentions.map(m => (m.text,
-            windowOf(m.start, m.end).toLowerCase.map(ch => if (Character.isWhitespace(ch)) ' ' else ch)))
-          val dec = score(c.`type`, ms)
-          (d.doc_id, c.`type`, c.normalized, dec.decided, dec.personScore, dec.orgScore)
-        }
-    }.toDF("doc_id", "type", "normalized", "decided_type", "person_score", "org_score")
+    extracted
+      .select(col("doc_id"), col("spans.text").as("texts"), col("canonical_entities"))
+      .as[(String, Seq[String], Seq[graft.model.CanonicalEntity])]
+      .flatMap { case (docId, texts, canonical) =>
+        val clean = Core8Extractor.truncate(
+          Core8Extractor.cleanFormatting(texts.mkString("\n")))
+        val sents = Core8Extractor.splitSentences(clean)
+        // all sentences OVERLAPPING the mention span, joined — a mention
+        // whose title prefix lands in a dropped short fragment ("Mr.")
+        // still sees the sentence carrying its verb (EntityEdges' overlap
+        // predicate)
+        def windowOf(start: Int, end: Int): String =
+          sents.filter { case (s, st) => start < st + s.length && st < end }
+            .map(_._1).mkString(" ")
+        canonical
+          .filter(c => isCandidate(c.`type`, c.normalized))
+          .map { c =>
+            // whitespace folded to spaces so a cue spanning a line break
+            // behaves like the regexes it stands in for (SpoExtractor gate)
+            val ms = c.mentions.map(m => (m.text,
+              windowOf(m.start, m.end).toLowerCase.map(ch => if (Character.isWhitespace(ch)) ' ' else ch)))
+            val dec = score(c.`type`, ms)
+            (docId, c.`type`, c.normalized, dec.decided, dec.personScore, dec.orgScore)
+          }
+      }.toDF("doc_id", "type", "normalized", "decided_type", "person_score", "org_score")
       .orderBy("doc_id", "type", "normalized")
   }
 

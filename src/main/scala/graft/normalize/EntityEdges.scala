@@ -1,7 +1,7 @@
 package graft.normalize
 
 import graft.extract.Core8Extractor
-import graft.model.ExtractedDoc
+import graft.model.{CanonicalEntity, ExtractedDoc}
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
@@ -25,6 +25,20 @@ object EntityEdges {
     */
   val ContextWindow = 50
 
+  /** Both facets read only (doc_id, span texts, canonical entities) —
+    * select them BEFORE the typed lambda so the columnar cache scan
+    * prunes the unused heavy columns (entities, facts, meta) instead of
+    * deserializing whole ExtractedDoc objects.
+    */
+  private def pruned(extracted: Dataset[ExtractedDoc])
+      : Dataset[(String, Seq[String], Seq[CanonicalEntity])] = {
+    val spark = extracted.sparkSession
+    import spark.implicits._
+    extracted
+      .select(col("doc_id"), col("spans.text").as("texts"), col("canonical_entities"))
+      .as[(String, Seq[String], Seq[CanonicalEntity])]
+  }
+
   /** Per-mention context windows — the disambiguator's raw material
     * (`EntityContext`): each canonical entity's mentions with the
     * ±50-char clean-text snippets around them. Document-local flatMap,
@@ -33,14 +47,14 @@ object EntityEdges {
   def mentionContexts(extracted: Dataset[ExtractedDoc]): DataFrame = {
     val spark = extracted.sparkSession
     import spark.implicits._
-    extracted.flatMap { d =>
+    pruned(extracted).flatMap { case (docId, texts, canonical) =>
       val clean = Core8Extractor.truncate(
-        Core8Extractor.cleanFormatting(d.spans.map(_.text).mkString("\n")))
-      d.canonical_entities.flatMap { c =>
+        Core8Extractor.cleanFormatting(texts.mkString("\n")))
+      canonical.flatMap { c =>
         c.mentions.map { m =>
           val s = math.min(math.max(0, m.start), clean.length)
           val e = math.min(math.max(s, m.end), clean.length)
-          (d.doc_id, c.`type`, c.normalized, m.text, m.start,
+          (docId, c.`type`, c.normalized, m.text, m.start,
             clean.substring(math.max(0, s - ContextWindow), s),
             clean.substring(e, math.min(clean.length, e + ContextWindow)))
         }
@@ -57,15 +71,15 @@ object EntityEdges {
   def edges(extracted: Dataset[ExtractedDoc]): DataFrame = {
     val spark = extracted.sparkSession
     import spark.implicits._
-    extracted.flatMap { d =>
+    pruned(extracted).flatMap { case (docId, texts, canonical) =>
       val clean = Core8Extractor.truncate(
-        Core8Extractor.cleanFormatting(d.spans.map(_.text).mkString("\n")))
+        Core8Extractor.cleanFormatting(texts.mkString("\n")))
       val sents = Core8Extractor.splitSentences(clean)
       // a canonical entity sits in a sentence iff any of its mentions
       // overlaps the sentence span
       val perSentence = sents.zipWithIndex.map { case ((s, start), si) =>
         val end = start + s.length
-        si -> d.canonical_entities
+        si -> canonical
           .filter(c => c.mentions.exists(m => m.start < end && start < m.end))
           .map(c => (c.`type`, c.normalized)).distinct.sorted
       }
@@ -73,7 +87,7 @@ object EntityEdges {
         for {
           i <- ents.indices
           j <- (i + 1) until ents.length
-        } yield (d.doc_id, ents(i)._1, ents(i)._2, ents(j)._1, ents(j)._2)
+        } yield (docId, ents(i)._1, ents(i)._2, ents(j)._1, ents(j)._2)
       }.distinct
     }.toDF("doc_id", "type_a", "norm_a", "type_b", "norm_b")
       .groupBy("type_a", "norm_a", "type_b", "norm_b")

@@ -128,4 +128,45 @@ class CorpusTableSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(tBuild < 30.0, s"automaton build too slow: $tBuild s")
     } finally AhoCorasick.evict(_ == key)
   }
+
+  test("430k tier: prefix-stable over the 100k tier, full-size, hermetic on fixture text") {
+    val big = 430000
+    val small = CorpusGen.derivedTierAt(100000)
+    val large = CorpusGen.derivedTierAt(big)
+    // smaller tiers are strict prefixes of larger ones: extending the
+    // generator capacity must never reshuffle the 100k tier (its
+    // snapshot hash — and therefore its automaton cache — stays valid)
+    assert(large.take(small.length) === small, "100k tier is not a prefix of the 430k tier")
+    assert(large.length >= big, s"430k tier too small: ${large.length}")
+    assert(large.distinct.length === large.length)
+
+    // reference-scale extraction must be hermetic w.r.t. the synthesis
+    // fixtures: installing 430k surnames changes nothing on fixture-
+    // shaped text (the driver oracles gate this corpus-wide; this pins
+    // it at unit speed for future tier edits)
+    val fixture = "Contact John Smith at (555) 123-4567 regarding the audit. " +
+      "The inspection is scheduled for March 5, 2023 at 3:15 PM in Chicago. " +
+      "Mr. Smith approved the findings. " +
+      "President Wexford of the Department of Harborview visited Pinecrest Valley."
+    Corpora.reset()
+    val base = Core8Extractor.extractAll(fixture)
+    val bundle = CorpusTable.fromRows("big-430k-test", CorpusGen.rowsAt(big))
+    assert(bundle.lastNames.size >= big)
+    // the E15 gap-discovery fixtures must stay un-gazetteered at every
+    // tier size, or the discovery oracles silently change semantics
+    val gapNames = Seq("wexford", "tarlow", "quimby", "ashford",
+      "harborview", "glenfield", "marwick", "ostrander",
+      "pinecrest", "eastbrook", "larkspur", "dunmore", "hollybrook")
+    val all = bundle.firstNames ++ bundle.lastNames ++ bundle.orgs ++
+      bundle.gpe.keySet ++ bundle.loc.keySet
+    assert(gapNames.filter(all.contains).isEmpty,
+      s"gap-discovery fixture collided with the 430k tier: ${gapNames.filter(all.contains)}")
+    Corpora.install(bundle)
+    try {
+      val under = Core8Extractor.extractAll(fixture)
+      assert(under.map(e => (e.`type`, e.value, e.start)) ===
+        base.map(e => (e.`type`, e.value, e.start)),
+        "430k bundle changed fixture-text extraction")
+    } finally Corpora.reset()
+  }
 }
