@@ -17,7 +17,11 @@ object PlanAudit {
       "x_global_entities", "t6_ngram_jaccard", "x_office_spans",
       // round-3 additions: shuffle-free IVF assignment, edge aggregation,
       // office entity facet
-      "s4_ivf_topk", "x_entity_edges_core", "x_office_entities")
+      "s4_ivf_topk", "x_entity_edges_core", "x_office_entities",
+      // round-4 additions: facet column pruning at the cache scan (the
+      // InMemoryTableScan Output list must name only the facet's
+      // columns, with the kind predicate pushed into the scan)
+      "x_fact_summary_core", "x_disambig_core", "x_typed_facts_core")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -15,6 +15,14 @@ import graft.model.{Span, SpanKinds => K}
   *    blocks, strip every tag, collapse whitespace — one text span, no
   *    structure. ~an order of magnitude cheaper per doc; the trade is
   *    exactly the reference's (speed over structure)
+  *  - `html2text`: the reference's DEFAULT converter profile
+  *    (`configurable_markdown_converter.py:66-95`: body_width=0,
+  *    ignore_links=False, ignore_images=True). html2text converts the
+  *    whole document — it has no content-extraction step — so this
+  *    strategy emits markdown over the full DOM (nav/header/footer
+  *    included), keeps `[text](url)` links, and drops image spans.
+  *    Same parser and emitter as `dom`; the profile differs only in
+  *    what is kept
   *
   * Strategy choice is data-parallel config: the pipeline resolves the
   * name once per run and the chosen function runs inside the fused
@@ -24,6 +32,7 @@ object HtmlStrategies {
 
   val Dom = "dom"
   val FastStrip = "fast_strip"
+  val Html2Text = "html2text"
 
   private val scriptRx = java.util.regex.Pattern.compile(
     "<script[^>]*>.*?</script>",
@@ -44,6 +53,32 @@ object HtmlStrategies {
     if (t.isEmpty) Seq.empty else Seq(Span(K.Text, t, "", 0))
   }
 
+  /** html2text-profile conversion: full-document markdown (no
+    * boilerplate classifier — html2text converts everything the parser
+    * keeps), links preserved by the emitter, images dropped
+    * (`ignore_images=True` is the reference's default). Span offsets
+    * are re-numbered after the image filter so consumers still see a
+    * dense 0..n-1 ordering.
+    */
+  def html2text(html: String, baseUrl: String = ""): Seq[Span] = {
+    val dom = HtmlParser.parse(html)
+    dropRawText(dom)
+    MarkdownEmitter.emit(dom, baseUrl)
+      .filter(_.kind != K.ImageRef)
+      .zipWithIndex.map { case (s, i) => s.copy(offset = i) }
+  }
+
+  /** html2text never renders script/style payloads, but it has no
+    * boilerplate classifier either — so prune exactly the raw-text
+    * elements and nothing else (nav/header/footer stay, unlike `dom`).
+    */
+  private val rawTextTags = Set("script", "style", "noscript", "textarea")
+
+  private def dropRawText(n: HtmlParser.Node): Unit = {
+    n.children.filterInPlace(ch => ch.isText || !rawTextTags.contains(ch.tag))
+    n.children.foreach(ch => if (!ch.isText) dropRawText(ch))
+  }
+
   /** Resolve a strategy name to its conversion function. Unknown names
     * fall back to the high-fidelity default (the reference's factory
     * falls back to its default converter the same way).
@@ -51,6 +86,7 @@ object HtmlStrategies {
   def convert(strategy: String, html: String, baseUrl: String = ""): Seq[Span] =
     strategy match {
       case FastStrip => fastStrip(html)
+      case Html2Text => html2text(html, baseUrl)
       case _ => HtmlExtractor.extract(html, baseUrl)
     }
 }

@@ -41,6 +41,31 @@ class HtmlStrategiesSpec extends AnyFunSuite {
     assert(HtmlStrategies.convert("nonsense", html) === dom)
   }
 
+  test("html2text profile: full document, links kept, images dropped, scripts ignored") {
+    val page =
+      """<html><head><script>var s = 1;</script></head><body>
+        |<nav><a href="/x">NavLink</a></nav>
+        |<h1>Heading</h1>
+        |<p>See <a href="https://example.com/a">the docs</a> now.</p>
+        |<p><img src="/i.png" alt="pic"> after image</p>
+        |</body></html>""".stripMargin
+    val spans = HtmlStrategies.html2text(page, "https://example.com")
+    // no boilerplate classifier: nav content survives (unlike dom)
+    assert(spans.exists(_.text.contains("NavLink")),
+      s"nav dropped: ${spans.map(_.text)}")
+    assert(!HtmlStrategies.convert(HtmlStrategies.Dom, page, "https://example.com")
+      .exists(_.text.contains("NavLink")))
+    // links render as [text](resolved url)
+    assert(spans.exists(_.text.contains("[the docs](https://example.com/a)")))
+    // ignore_images=True: no image_ref spans, offsets stay dense
+    assert(!spans.exists(_.kind == "image_ref"))
+    assert(spans.map(_.offset) === spans.indices)
+    // raw-text payloads never render
+    assert(!spans.exists(_.text.contains("var s")))
+    // dispatch reaches the same function
+    assert(HtmlStrategies.convert(HtmlStrategies.Html2Text, page, "https://example.com") === spans)
+  }
+
   test("pipeline honors the configured strategy end-to-end") {
     val raw = DocGen.synthesize(2, "alpha beta gamma") // html-mode doc
     val domOut = ExtractionPipeline.processDoc(raw)
