@@ -21,13 +21,7 @@ object Bench {
     // query, not whichever one ran first in map order
     val warm = SparkEntry.warmFamilies(spark, sfDir)
     val results = warm ++ SparkEntry.queries.toSeq.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true } catch { case e: Throwable =>
-          System.err.println(s"[graft] $name FAILED after ${(System.nanoTime() - t0) / 1e9}s: ${e.getMessage}")
-          false
-        }
-      (name, (System.nanoTime() - t0) / 1e9, !ok)
+      SparkEntry.timed(name) { fn(spark, sfDir).count() }
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -87,11 +87,19 @@ object SparkEntry {
   private def bigExtracted(s: SparkSession, dir: String): Dataset[ExtractedDoc] =
     bigExtractedCache.getOrElseUpdate(s, dir) {
       import s.implicits._
-      val tmp = java.nio.file.Files.createTempDirectory("graft-corpus-big").toString
+      val tmp = java.nio.file.Files.createTempDirectory("graft-corpus-big")
       graft.matching.CorpusGen.rowsAt(BigTierTarget).toDF("kind", "value", "meta")
         .write.mode("overwrite").parquet(s"$tmp/corpus.parquet")
       val bundle = graft.matching.CorpusTable.loadVersioned(
         s, s.read.parquet(s"$tmp/corpus.parquet"))
+      // loadVersioned collected the table; the on-disk copy has no
+      // further reader — delete it rather than leak one 430k-row
+      // parquet per (session, dir) bench run
+      locally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
       // run() captures the driver's active bundle eagerly, so the
       // install/restore window only needs to span the run() call; the
       // broadcast keeps the big bundle alive for lazy task execution
@@ -150,28 +158,33 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     spansOf(extracted(spark, "/root/testdata/sf0.001"))
 
+  /** The bench timing/failure protocol, shared by [[warmFamilies]] and
+    * Bench's per-query loop so the two report failures identically. A
+    * failed stage still reports its elapsed time (the cost was paid and
+    * must stay in the total), prints a loud failure marker to stderr,
+    * AND carries the failure flag into the result so Bench can list it
+    * machine-readably — a fast failure must never read as a fast query
+    * to a JSON consumer comparing rounds.
+    */
+  def timed(name: String)(f: => Unit): (String, Double, Boolean) = {
+    val t0 = System.nanoTime()
+    val ok =
+      try { f; true } catch { case e: Throwable =>
+        System.err.println(s"[graft] $name FAILED after ${(System.nanoTime() - t0) / 1e9}s: ${e.getMessage}")
+        false
+      }
+    (name, (System.nanoTime() - t0) / 1e9, !ok)
+  }
+
   /** Timed materialization of every cross-query shared cache, in
     * dependency order. Bench runs these FIRST and reports them as
     * explicit `warm:<family>` entries: the shared materialization cost
     * stays visible in the total but is no longer attributed to
     * whichever family query happens to run first in map order — that
     * attribution made per-query BENCH deltas incomparable across
-    * rounds. A failed warm stage still reports its elapsed time (the
-    * cost was paid and must stay in the total), prints a loud failure
-    * marker to stderr, AND carries the failure flag into the result so
-    * Bench can list it machine-readably — a fast failure must never
-    * read as a fast query to a JSON consumer comparing rounds.
+    * rounds.
     */
   def warmFamilies(s: SparkSession, dir: String): Seq[(String, Double, Boolean)] = {
-    def timed(name: String)(f: => Unit): (String, Double, Boolean) = {
-      val t0 = System.nanoTime()
-      val ok =
-        try { f; true } catch { case e: Throwable =>
-          System.err.println(s"[graft] $name FAILED after ${(System.nanoTime() - t0) / 1e9}s: ${e.getMessage}")
-          false
-        }
-      (name, (System.nanoTime() - t0) / 1e9, !ok)
-    }
     Seq(
       timed("warm:extract") { extracted(s, dir).count() },
       timed("warm:office") { officeExtracted(s, dir).count() },
@@ -288,14 +301,13 @@ object SparkEntry {
       graft.normalize.EntityEdges.mentionContexts(
         extracted(s, dir).filter(nonPdfCol))),
     // A2 resolution: per-doc evidence-scored person/org decisions over
-    // the ambiguous canonical surfaces, plus the corpus rollup
+    // the ambiguous canonical surfaces, plus the corpus rollup (built on
+    // the unsorted rows — the groupBy would discard a sort anyway)
     "x_disambig_core" -> ((s, dir) =>
-      graft.normalize.Disambiguator.decisions(
-        extracted(s, dir).filter(docIdNum % 10 < 5 || docIdNum % 10 >= 8))),
+      graft.normalize.Disambiguator.decisions(extracted(s, dir).filter(nonPdfCol))),
     "x_disambig_global" -> ((s, dir) =>
       graft.normalize.Disambiguator.global(
-        graft.normalize.Disambiguator.decisions(
-          extracted(s, dir).filter(docIdNum % 10 < 5 || docIdNum % 10 >= 8)))),
+        graft.normalize.Disambiguator.decisionRows(extracted(s, dir).filter(nonPdfCol)))),
     // normalization hash-gate over the reconstructable modes
     "x_canonical_core" -> ((s, dir) =>
       extracted(s, dir)

@@ -70,13 +70,15 @@ object SpoExtractor {
       triggers: Seq[Seq[String]])
 
   private val compiledCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Int), Seq[FactPattern]]
+    scala.collection.concurrent.TrieMap.empty[Seq[SpoPatternConfig], Seq[FactPattern]]
 
   private def compiled(set: SpoPatternSet): Seq[FactPattern] = {
-    // keyed by (version, content hash), not the bare version string: two
-    // fromRows() calls reusing a version with different rows must compile
-    // their own sets, never silently serve the first set's patterns
-    val key = (set.version, set.patterns.hashCode)
+    // keyed by the pattern rows THEMSELVES (structural equality), not the
+    // version string or a 32-bit hash of the rows: two fromRows() calls
+    // reusing a version with different rows must compile their own sets,
+    // never silently serve the first set's patterns — and a hash key
+    // would only make that collision improbable, not impossible
+    val key = set.patterns
     compiledCache.getOrElseUpdate(key, {
       if (compiledCache.size > 8) compiledCache.clear() // bound test churn
       set.patterns.map(c => FactPattern(

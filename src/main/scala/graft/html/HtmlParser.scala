@@ -18,8 +18,10 @@ object HtmlParser {
   final case class TClose(name: String) extends Tok
   final case class TText(text: String) extends Tok
 
-  /** Elements whose content is raw text (no nested markup). */
-  private val rawTextElems = Set("script", "style", "noscript", "textarea")
+  /** Elements whose content is raw text (no nested markup). Shared with
+    * HtmlStrategies.html2text, which prunes exactly these from the tree.
+    */
+  private[html] val rawTextElems = Set("script", "style", "noscript", "textarea")
 
   /** HTML void elements — never have children. */
   val voidElems: Set[String] = Set(

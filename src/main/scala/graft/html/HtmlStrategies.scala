@@ -69,13 +69,12 @@ object HtmlStrategies {
   }
 
   /** html2text never renders script/style payloads, but it has no
-    * boilerplate classifier either — so prune exactly the raw-text
-    * elements and nothing else (nav/header/footer stay, unlike `dom`).
+    * boilerplate classifier either — so prune exactly the parser's
+    * raw-text elements and nothing else (nav/header/footer stay, unlike
+    * `dom`).
     */
-  private val rawTextTags = Set("script", "style", "noscript", "textarea")
-
   private def dropRawText(n: HtmlParser.Node): Unit = {
-    n.children.filterInPlace(ch => ch.isText || !rawTextTags.contains(ch.tag))
+    n.children.filterInPlace(ch => ch.isText || !HtmlParser.rawTextElems.contains(ch.tag))
     n.children.foreach(ch => if (!ch.isText) dropRawText(ch))
   }
 

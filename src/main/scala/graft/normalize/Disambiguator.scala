@@ -37,7 +37,11 @@ object Disambiguator {
   final case class Decision(personScore: Double, orgScore: Double, decided: String)
 
   def score(entityType: String, mentionsWithSentences: Seq[(String, String)]): Decision = {
-    val ms = mentionsWithSentences.map { case (m, sent) => (m.toLowerCase, sent) }
+    // lowercase BOTH sides here (idempotent for callers that already
+    // did): every cue check below is a case-sensitive contains(), so an
+    // unlowercased sentence from a direct caller would silently miss
+    // action/context cues
+    val ms = mentionsWithSentences.map { case (m, sent) => (m.toLowerCase, sent.toLowerCase) }
     var person = 0.1 + (if (entityType == "PERSON") 0.2 else 0.0)
     var org = 0.1 + (if (entityType == "ORG") 0.2 else 0.0)
     val hasTitle = ms.exists { case (ml, sent) =>
@@ -76,12 +80,20 @@ object Disambiguator {
     entityType == "PERSON" || entityType == "ORG" ||
       (entityType == "GPE" && normalized.matches("[A-Z]{2,}"))
 
-  /** Per-doc disambiguation decisions over the canonical entities.
-    * Reads only (doc_id, span texts, canonical entities) — selected
-    * before the typed lambda so the columnar cache scan prunes the
-    * unused heavy columns instead of deserializing whole docs.
+  /** Per-doc disambiguation decisions, globally sorted for the driver
+    * facet. Aggregating consumers should use [[decisionRows]] — the
+    * rollup's groupBy discards any input ordering, so the sort here
+    * would be pure wasted work for them.
     */
-  def decisions(extracted: Dataset[ExtractedDoc]): DataFrame = {
+  def decisions(extracted: Dataset[ExtractedDoc]): DataFrame =
+    decisionRows(extracted).orderBy("doc_id", "type", "normalized")
+
+  /** Per-doc disambiguation decisions over the canonical entities,
+    * unordered. Reads only (doc_id, span texts, canonical entities) —
+    * selected before the typed lambda so the columnar cache scan prunes
+    * the unused heavy columns instead of deserializing whole docs.
+    */
+  def decisionRows(extracted: Dataset[ExtractedDoc]): DataFrame = {
     val spark = extracted.sparkSession
     import spark.implicits._
     extracted
@@ -109,7 +121,6 @@ object Disambiguator {
             (docId, c.`type`, c.normalized, dec.decided, dec.personScore, dec.orgScore)
           }
       }.toDF("doc_id", "type", "normalized", "decided_type", "person_score", "org_score")
-      .orderBy("doc_id", "type", "normalized")
   }
 
   /** Corpus rollup: per ambiguous surface, how many docs resolved it

@@ -23,7 +23,15 @@ object DocStream {
 
   def extract(spark: SparkSession, raw: Dataset[RawDoc]): Dataset[ExtractedDoc] = {
     import spark.implicits._
-    raw.mapPartitions(_.map(ExtractionPipeline.processDoc))
+    // ship the driver's active corpus bundle exactly like the batch path
+    // (ExtractionPipeline.run): one broadcast, an idempotent install per
+    // executor JVM. Without this, a table-loaded gazetteer would apply to
+    // batch extraction but not to streamed docs — a silent stream/batch
+    // divergence invisible in local mode (driver and executors share a
+    // JVM) and on the span-level parity gate (spans are bundle-blind).
+    val installCorpus = graft.matching.CorpusTable.broadcastInstaller(
+      spark, graft.matching.Corpora.bundle)
+    raw.mapPartitions { it => installCorpus(); it.map(ExtractionPipeline.processDoc(_)) }
   }
 
   /** Stream/batch parity replay harness (the q18 pattern): drive the raw
