@@ -195,6 +195,7 @@ object SparkEntry {
       timed("warm:lsh_pairs") { graft.textops.TextOps.minhashLsh(s, dir, 0.5).count() },
       timed("warm:dup_groups") { graft.textops.TextOps.dupGroups(s, dir).count() },
       timed("warm:simhash_pairs") { graft.textops.TextOps.simhashDedup(s, dir).count() },
+      timed("warm:simhash_groups") { graft.textops.TextOps.simhashGroups(s, dir).count() },
       timed("warm:emb_buckets") { graft.sim.Similarity.lshBuckets(s, dir).count() },
       timed("warm:emb_pairs") { graft.sim.Similarity.embeddingDedup(s, dir, 0.40).count() },
       timed("warm:emb_groups") { graft.sim.Similarity.embeddingGroups(s, dir, 0.40).count() },
