@@ -101,4 +101,18 @@ class SpoExtractorSpec extends AnyFunSuite {
     assert(SpoExtractor.parseTriggers("fine|penalt;$") ===
       Seq(Seq("fine", "penalt"), Seq("$")))
   }
+
+  test("X3: compiled cache keys on the rows, not the version string") {
+    val text = "Project Alpha supersedes Project Beta."
+    val row = ("supersedes", "(?i)\\b([A-Z][\\w ,'-]{2,60}?)\\s+supersedes\\s+([\\w ,'-]{3,160}?)(?:\\.|$|;)",
+      "supersession", "SUPERSEDES", 0.8, true, 1, 2, "supersede")
+    // two sets REUSING one version with different rows must each compile
+    // their own patterns — the second must not be served the first's
+    val a = SpoExtractor.fromRows("reused-v", Seq(row))
+    assert(SpoExtractor.extract(text, a).exists(_.predicate == "SUPERSEDES"))
+    val b = SpoExtractor.fromRows("reused-v", Seq(row.copy(_4 = "REPLACES")))
+    val got = SpoExtractor.extract(text, b)
+    assert(got.exists(_.predicate == "REPLACES") &&
+      !got.exists(_.predicate == "SUPERSEDES"), s"stale cache: $got")
+  }
 }

@@ -34,6 +34,15 @@ class DisambiguatorSpec extends AnyFunSuite {
     assert(d.personScore == 0.1 && d.orgScore == 0.2)
   }
 
+  test("direct callers may pass unlowercased sentences — score lowercases both sides") {
+    val lower = Disambiguator.score("PERSON",
+      Seq(("Mr. Quinn", "quinn approved the findings.")))
+    val mixed = Disambiguator.score("PERSON",
+      Seq(("Mr. Quinn", "Quinn approved the findings.")))
+    assert(mixed == lower)
+    assert(mixed.personScore == 0.95)
+  }
+
   test("evidence cues are idempotent across mentions") {
     val d = Disambiguator.score("PERSON", Seq(
       ("Mr. Quinn", "quinn approved the budget."),
