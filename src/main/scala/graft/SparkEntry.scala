@@ -117,6 +117,17 @@ object SparkEntry {
       } finally graft.matching.Corpora.install(prev)
     }
 
+  private val streamReplayCache = new graft.util.SessionCache[DataFrame]
+
+  /** One MemoryStream replay of the raw corpus per (session, dir),
+    * sinking FULL extracted docs (localCheckpoint'ed by docReplay) —
+    * both stream parity facets project from this single replay.
+    */
+  private def streamExtracted(s: SparkSession, dir: String): DataFrame =
+    streamReplayCache.getOrElseUpdate(s, dir) {
+      graft.streaming.DocStream.docReplay(s, DocGen.rawDocs(s, dir))
+    }
+
   /** Column-level doc-id arithmetic (doc_id = "doc<id>"): keeps facet
     * filters inside codegen instead of deserializing ExtractedDoc objects
     * for a typed lambda.
@@ -190,6 +201,7 @@ object SparkEntry {
       timed("warm:office") { officeExtracted(s, dir).count() },
       timed("warm:aux") { auxExtracted(s, dir).count() },
       timed("warm:big_corpus") { bigExtracted(s, dir).count() },
+      timed("warm:stream_replay") { streamExtracted(s, dir).count() },
       timed("warm:shingles") { graft.textops.TextOps.shingles(s, dir).count() },
       timed("warm:ngram_pairs") { graft.textops.TextOps.ngramJaccard(s, dir, 0.2).count() },
       timed("warm:lsh_pairs") { graft.textops.TextOps.minhashLsh(s, dir, 0.5).count() },
@@ -207,13 +219,26 @@ object SparkEntry {
     "x_html_spans" -> ((s, dir) => spansOf(extractedOfKind(s, dir, "html"))),
     "x_pdf_spans" -> ((s, dir) => spansOf(extractedOfKind(s, dir, "pdf_blocks"))),
     "x_text_spans" -> ((s, dir) => spansOf(extractedOfKind(s, dir, "text"))),
-    // streaming parity gate: the flagship extraction replayed through a
+    // streaming parity gates: the flagship extraction replayed through a
     // MemoryStream child session (the q18 pattern) must emit exactly the
-    // batch span rows — the oracle is the UNION of the three per-mode
-    // span reconstructions, so stream == batch is proven through an
-    // independent DuckDB re-derivation rather than self-comparison
+    // batch rows — each oracle is the same DuckDB reconstruction that
+    // gates the batch facet, so stream == batch is proven through an
+    // independent re-derivation rather than self-comparison. Spans gate
+    // the conversion stages; entities additionally gate the
+    // gazetteer-dependent stages (a span-only gate is bundle-blind)
     "x_stream_spans" -> ((s, dir) =>
-      graft.streaming.DocStream.spanReplay(s, DocGen.rawDocs(s, dir))),
+      streamExtracted(s, dir)
+        .select(col("doc_id"), explode(col("spans")).as("sp"))
+        .select(col("doc_id"), col("sp.offset").as("offset"), col("sp.kind").as("kind"),
+          col("sp.text").as("text"), col("sp.media_ref").as("media_ref"))
+        .orderBy(col("doc_id"), col("offset"))),
+    "x_stream_entities" -> ((s, dir) =>
+      streamExtracted(s, dir)
+        .filter(nonPdfCol)
+        .select(col("doc_id"), explode(col("entities")).as("e"))
+        .select(col("doc_id"), col("e.type").as("type"), col("e.value").as("value"),
+          col("e.start").as("start"), col("e.end").as("end"))
+        .orderBy(col("doc_id"), col("start"), col("type"))),
     "x_office_spans" -> ((s, dir) => spansOf(officeExtracted(s, dir))),
     // F12 csv conversion + F15 universal fallback, each hash-gated by a
     // reconstruction oracle over the aux corpus (even ids = csv, odd =
@@ -763,6 +788,8 @@ object SparkEntry {
     "x_pdf_spans" -> OracleSql.xPdfSpans,
     "x_html_spans" -> OracleSql.xHtmlSpans,
     "x_stream_spans" -> OracleSql.xStreamSpans,
+    // the streamed entity facet must equal the batch facet — same oracle
+    "x_stream_entities" -> OracleSql.xEntitiesCore,
     "t1_token_count" -> OracleSql.tokenCount,
     "t2_quality_score" -> OracleSql.qualityScore,
     "t3_lang_id" -> OracleSql.langId,

@@ -36,10 +36,14 @@ object DocStream {
 
   /** Stream/batch parity replay harness (the q18 pattern): drive the raw
     * corpus through a MemoryStream micro-batch by micro-batch in a child
-    * session and return the exploded span rows from the memory sink —
-    * gated against the same reconstruction oracles as the batch span
-    * facets, so streaming and batch extraction are proven equal through
-    * an independent third reconstruction.
+    * session and return the FULL extracted-doc rows from the memory sink
+    * — the caller projects span/entity facets from it, each gated
+    * against the same reconstruction oracles as the batch facets, so
+    * streaming and batch extraction are proven equal through an
+    * independent third reconstruction. Sinking whole documents (not one
+    * pre-projected facet) lets one replay feed every parity gate,
+    * including the bundle-SENSITIVE entity facet that a span-only gate
+    * cannot see diverge.
     *
     * Stateless transform — no watermark or state store. The repartition
     * spreads each micro-batch across the full worker width: a
@@ -47,10 +51,11 @@ object DocStream {
     * otherwise serialize the extraction CPU. The collect() is the replay
     * harness's cost (same as q18's event replay); production uses the
     * readStream file/Kafka shape in the scaladoc above and never
-    * touches the driver.
+    * touches the driver. The result is localCheckpoint'ed: the sink
+    * table lives in the child session and the replay must not re-run
+    * per downstream facet.
     */
-  def spanReplay(spark: SparkSession, raw: Dataset[RawDoc], numBatches: Int = 6): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.{col, explode}
+  def docReplay(spark: SparkSession, raw: Dataset[RawDoc], numBatches: Int = 6): org.apache.spark.sql.DataFrame = {
     val docs = raw.collect()
     require(docs.nonEmpty, "no docs to replay")
     val width = spark.sparkContext.defaultParallelism
@@ -58,16 +63,13 @@ object DocStream {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
     import ss.implicits._
     val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[RawDoc]
-    val name = "stream_spans_sink"
+    val name = "stream_docs_sink"
     val q = extract(ss, stream.toDS().repartition(width))
-      .select(col("doc_id"), explode(col("spans")).as("sp"))
-      .select(col("doc_id"), col("sp.offset").as("offset"), col("sp.kind").as("kind"),
-        col("sp.text").as("text"), col("sp.media_ref").as("media_ref"))
       .writeStream.format("memory").queryName(name).outputMode("append").start()
     try {
       val chunk = math.max(1, docs.length / numBatches + 1)
       docs.grouped(chunk).foreach { c => stream.addData(c.toSeq); q.processAllAvailable() }
     } finally q.stop()
-    ss.table(name).orderBy(col("doc_id"), col("offset"))
+    ss.table(name).localCheckpoint()
   }
 }

@@ -108,20 +108,30 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spans("doc1") > 0)
   }
 
-  test("ST4: spanReplay parity — streamed span rows equal batch span rows") {
+  test("ST4: docReplay parity — streamed docs equal batch docs, spans AND entities") {
     import spark.implicits._
     // a mode-diverse slice: html (with a url-reject), pdf (two-column,
     // image, page-count reject), text (discovery sentence)
     val ids = Seq(0L, 3L, 5L, 6L, 8L, 9L, 34L, 97L, 15L, 28L)
     val raw = ids.map(i => graft.sources.DocGen.synthesize(i, s"inspection report body $i with several words"))
-    val batch = graft.pipeline.ExtractionPipeline.run(spark, spark.createDataset(raw))
-      .select($"doc_id", org.apache.spark.sql.functions.explode($"spans").as("sp"))
-      .select($"doc_id", $"sp.offset".as("offset"), $"sp.kind".as("kind"),
-        $"sp.text".as("text"), $"sp.media_ref".as("media_ref"))
-      .collect().map(_.toSeq).toSet
-    val streamed = DocStream.spanReplay(spark, spark.createDataset(raw), numBatches = 3)
-      .collect().map(_.toSeq).toSet
-    assert(streamed === batch)
-    assert(streamed.nonEmpty)
+    def facets(df: org.apache.spark.sql.DataFrame) = {
+      import org.apache.spark.sql.functions.explode
+      val spans = df.select($"doc_id", explode($"spans").as("sp"))
+        .select($"doc_id", $"sp.offset", $"sp.kind", $"sp.text", $"sp.media_ref")
+        .collect().map(_.toSeq).toSet
+      val ents = df.select($"doc_id", explode($"entities").as("e"))
+        .select($"doc_id", $"e.type", $"e.value", $"e.start", $"e.end")
+        .collect().map(_.toSeq).toSet
+      (spans, ents)
+    }
+    val (bSpans, bEnts) =
+      facets(graft.pipeline.ExtractionPipeline.run(spark, spark.createDataset(raw)).toDF())
+    val (sSpans, sEnts) =
+      facets(DocStream.docReplay(spark, spark.createDataset(raw), numBatches = 3))
+    assert(sSpans === bSpans)
+    assert(sSpans.nonEmpty)
+    // the bundle-sensitive facet: entity extraction must match too
+    assert(sEnts === bEnts)
+    assert(sEnts.nonEmpty)
   }
 }
