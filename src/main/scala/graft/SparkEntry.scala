@@ -94,11 +94,20 @@ object SparkEntry {
         s, s.read.parquet(s"$tmp/corpus.parquet"))
       // loadVersioned collected the table; the on-disk copy has no
       // further reader — delete it rather than leak one 430k-row
-      // parquet per (session, dir) bench run
+      // parquet per (session, dir) bench run. The walk stream must be
+      // closed (it holds directory handles), and a failed delete is
+      // logged rather than swallowed — a silent failure IS the leak
+      // this block exists to prevent
       locally {
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        val leftover = scala.util.Using.resource(java.nio.file.Files.walk(tmp)) {
+          _.iterator().asScala.toSeq.reverse.filterNot { p =>
+            try { java.nio.file.Files.deleteIfExists(p); true }
+            catch { case _: java.io.IOException => false }
+          }
+        }
+        if (leftover.nonEmpty)
+          System.err.println(s"[graft] big-corpus temp cleanup left ${leftover.size} paths under $tmp")
       }
       // run() captures the driver's active bundle eagerly, so the
       // install/restore window only needs to span the run() call; the
@@ -157,11 +166,23 @@ object SparkEntry {
     // so filter the cached full extraction instead of re-running it
     extracted(s, dir).filter(kindCol(kind))
 
-  private def spansOf(ds: Dataset[ExtractedDoc]): DataFrame =
+  /** The two shared facet projections. `Dataset[_]` (not overloads —
+    * Dataset[ExtractedDoc] and DataFrame share an erasure) so the typed
+    * extraction caches and the streamed replay DataFrame all project
+    * through ONE definition: five facets gate on the same oracle shape,
+    * and a drift in any copy would silently break that equality.
+    */
+  private def spansOf(ds: Dataset[_]): DataFrame =
     ds.select(col("doc_id"), explode(col("spans")).as("s"))
       .select(col("doc_id"), col("s.offset").as("offset"), col("s.kind").as("kind"),
         col("s.text").as("text"), col("s.media_ref").as("media_ref"))
       .orderBy(col("doc_id"), col("offset"))
+
+  private def entitiesOf(ds: Dataset[_]): DataFrame =
+    ds.select(col("doc_id"), explode(col("entities")).as("e"))
+      .select(col("doc_id"), col("e.type").as("type"), col("e.value").as("value"),
+        col("e.start").as("start"), col("e.end").as("end"))
+      .orderBy(col("doc_id"), col("start"), col("type"))
 
   /** Flagship: full fused extraction over the interleaved corpus at
     * sf0.001 — every stage exercised, spans exploded.
@@ -226,19 +247,9 @@ object SparkEntry {
     // independent re-derivation rather than self-comparison. Spans gate
     // the conversion stages; entities additionally gate the
     // gazetteer-dependent stages (a span-only gate is bundle-blind)
-    "x_stream_spans" -> ((s, dir) =>
-      streamExtracted(s, dir)
-        .select(col("doc_id"), explode(col("spans")).as("sp"))
-        .select(col("doc_id"), col("sp.offset").as("offset"), col("sp.kind").as("kind"),
-          col("sp.text").as("text"), col("sp.media_ref").as("media_ref"))
-        .orderBy(col("doc_id"), col("offset"))),
+    "x_stream_spans" -> ((s, dir) => spansOf(streamExtracted(s, dir))),
     "x_stream_entities" -> ((s, dir) =>
-      streamExtracted(s, dir)
-        .filter(nonPdfCol)
-        .select(col("doc_id"), explode(col("entities")).as("e"))
-        .select(col("doc_id"), col("e.type").as("type"), col("e.value").as("value"),
-          col("e.start").as("start"), col("e.end").as("end"))
-        .orderBy(col("doc_id"), col("start"), col("type"))),
+      entitiesOf(streamExtracted(s, dir).filter(nonPdfCol))),
     "x_office_spans" -> ((s, dir) => spansOf(officeExtracted(s, dir))),
     // F12 csv conversion + F15 universal fallback, each hash-gated by a
     // reconstruction oracle over the aux corpus (even ids = csv, odd =
@@ -249,11 +260,7 @@ object SparkEntry {
       spansOf(auxExtracted(s, dir).filter(docIdNum % 2 === 1))),
     // office corpus is chunk-free, so its downstream stages are exactly
     // reconstructable too — entity and fact hash-gates over the same run
-    "x_office_entities" -> ((s, dir) =>
-      officeExtracted(s, dir).select(col("doc_id"), explode(col("entities")).as("e"))
-        .select(col("doc_id"), col("e.type").as("type"), col("e.value").as("value"),
-          col("e.start").as("start"), col("e.end").as("end"))
-        .orderBy(col("doc_id"), col("start"), col("type"))),
+    "x_office_entities" -> ((s, dir) => entitiesOf(officeExtracted(s, dir))),
     "x_office_facts" -> ((s, dir) =>
       officeExtracted(s, dir).select(col("doc_id"), explode(col("facts")).as("f"))
         .select(col("doc_id"), col("f.fact_type").as("fact_type"),
@@ -270,29 +277,15 @@ object SparkEntry {
         col("meta.primary_domain_confidence").as("confidence"),
         col("meta.primary_document_type").as("doc_type"))
         .orderBy(col("doc_id"))),
-    "x_entities" -> ((s, dir) =>
-      extracted(s, dir).select(col("doc_id"), explode(col("entities")).as("e"))
-        .select(col("doc_id"), col("e.type").as("type"), col("e.value").as("value"),
-          col("e.start").as("start"), col("e.end").as("end"))
-        .orderBy(col("doc_id"), col("start"), col("type"))),
+    "x_entities" -> ((s, dir) => entitiesOf(extracted(s, dir))),
     // Core-8 extraction hash-gate over the exactly-reconstructable modes
     // (html + text; pdf chunking mangles entity surface — see oracle doc)
     "x_entities_core" -> ((s, dir) =>
-      extracted(s, dir)
-        .filter(nonPdfCol)
-        .select(col("doc_id"), explode(col("entities")).as("e"))
-        .select(col("doc_id"), col("e.type").as("type"), col("e.value").as("value"),
-          col("e.start").as("start"), col("e.end").as("end"))
-        .orderBy(col("doc_id"), col("start"), col("type"))),
+      entitiesOf(extracted(s, dir).filter(nonPdfCol))),
     // the same two gazetteer-sensitive facets under the 430k tier —
     // gated by the SAME oracle SQL (hermetic tier => identical results)
     "x_big_entities_core" -> ((s, dir) =>
-      bigExtracted(s, dir)
-        .filter(nonPdfCol)
-        .select(col("doc_id"), explode(col("entities")).as("e"))
-        .select(col("doc_id"), col("e.type").as("type"), col("e.value").as("value"),
-          col("e.start").as("start"), col("e.end").as("end"))
-        .orderBy(col("doc_id"), col("start"), col("type"))),
+      entitiesOf(bigExtracted(s, dir).filter(nonPdfCol))),
     "x_big_canonical_core" -> ((s, dir) =>
       bigExtracted(s, dir)
         .filter(nonPdfCol)

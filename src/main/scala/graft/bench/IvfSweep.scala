@@ -11,18 +11,23 @@ import org.apache.spark.sql.SparkSession
 object IvfSweep {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    // size from the env like Bench/Verify — a hardcoded local[32] on a
+    // smaller (or pinned) host would print scheduling noise as topk cost
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    for (nProbe <- Seq(1, 2, 4)) {
-      val row = graft.sim.Similarity.ivfRecall(spark, sfDir, nProbe = nProbe).head()
-      val t0 = System.nanoTime()
-      graft.sim.Similarity.ivfTopK(spark, sfDir, nProbe = nProbe).count()
-      val sec = (System.nanoTime() - t0) / 1e9
-      println(f"[ivfsweep] nprobe=$nProbe recall=${row.getDouble(4)}%.4f " +
-        f"precision=${row.getDouble(5)}%.4f topk_secs=$sec%.2f")
-    }
-    spark.stop()
+    try {
+      for (nProbe <- Seq(1, 2, 4)) {
+        val row = graft.sim.Similarity.ivfRecall(spark, sfDir, nProbe = nProbe).head()
+        val t0 = System.nanoTime()
+        graft.sim.Similarity.ivfTopK(spark, sfDir, nProbe = nProbe).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[ivfsweep] nprobe=$nProbe recall=${row.getDouble(4)}%.4f " +
+          f"precision=${row.getDouble(5)}%.4f topk_secs=$sec%.2f")
+      }
+    } finally spark.stop()
   }
 }

@@ -21,7 +21,8 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   */
 object DocStream {
 
-  def extract(spark: SparkSession, raw: Dataset[RawDoc]): Dataset[ExtractedDoc] = {
+  def extract(spark: SparkSession, raw: Dataset[RawDoc],
+      config: ExtractionPipeline.PipelineConfig = ExtractionPipeline.PipelineConfig()): Dataset[ExtractedDoc] = {
     import spark.implicits._
     // ship the driver's active corpus bundle exactly like the batch path
     // (ExtractionPipeline.run): one broadcast, an idempotent install per
@@ -29,9 +30,13 @@ object DocStream {
     // batch extraction but not to streamed docs — a silent stream/batch
     // divergence invisible in local mode (driver and executors share a
     // JVM) and on the span-level parity gate (spans are bundle-blind).
+    // The config param mirrors run()'s for the same reason: a deployment
+    // that batches with html2text must be able to stream with it too.
     val installCorpus = graft.matching.CorpusTable.broadcastInstaller(
       spark, graft.matching.Corpora.bundle)
-    raw.mapPartitions { it => installCorpus(); it.map(ExtractionPipeline.processDoc(_)) }
+    raw.mapPartitions { it =>
+      installCorpus(); it.map(ExtractionPipeline.processDoc(_, config))
+    }
   }
 
   /** Stream/batch parity replay harness (the q18 pattern): drive the raw
@@ -70,6 +75,11 @@ object DocStream {
       val chunk = math.max(1, docs.length / numBatches + 1)
       docs.grouped(chunk).foreach { c => stream.addData(c.toSeq); q.processAllAvailable() }
     } finally q.stop()
-    ss.table(name).localCheckpoint()
+    // eager checkpoint, then drop the sink's temp view: otherwise the
+    // replayed corpus lives TWICE on the driver for the session lifetime
+    // (memory-sink buffer + checkpoint blocks)
+    val out = ss.table(name).localCheckpoint()
+    ss.catalog.dropTempView(name)
+    out
   }
 }
