@@ -91,6 +91,25 @@ object OracleSql {
       | FROM toks WHERE len(t) >= 3),
       |sh AS (SELECT DISTINCT doc_id, sh FROM sh_raw)""".stripMargin
 
+  /** t16: per train doc (doc_id % 10 <> 0), the fraction of its
+    * distinct shingles present in the benchmark slice's (doc_id % 10
+    * = 0) shingle vocabulary — membership, not pair similarity, so the
+    * reconstruction is two aggregations over the shared shingle CTE.
+    */
+  def contamination(threshold: Double): String =
+    s"""WITH $shinglesCte,
+       |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 10 = 0),
+       |train AS (SELECT doc_id, sh FROM sh WHERE doc_id % 10 <> 0),
+       |hits AS (SELECT t.doc_id, count(*) AS n_contaminated
+       | FROM train t JOIN bench b ON t.sh = b.sh GROUP BY 1),
+       |sizes AS (SELECT doc_id, count(*) AS n_shingles FROM train GROUP BY 1)
+       |SELECT s.doc_id, s.n_shingles::BIGINT AS n_shingles,
+       | coalesce(h.n_contaminated, 0)::BIGINT AS n_contaminated,
+       | round(coalesce(h.n_contaminated, 0)::DOUBLE / s.n_shingles, 4) AS contamination,
+       | round(coalesce(h.n_contaminated, 0)::DOUBLE / s.n_shingles, 4) >= $threshold::DOUBLE AS is_contaminated
+       |FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
+       |ORDER BY s.doc_id""".stripMargin
+
   def ngramJaccard(threshold: Double): String =
     s"""WITH $shinglesCte,
        |keep AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM sh GROUP BY 1)

@@ -606,6 +606,9 @@ object SparkEntry {
     "t13_rolling_fp" -> ((s, dir) => graft.textops.TextOps.rollingFingerprint(s, dir)),
     "t14_simhash_dedup" -> ((s, dir) => graft.textops.TextOps.simhashDedup(s, dir)),
     "t15_simhash_groups" -> ((s, dir) => graft.textops.TextOps.simhashGroups(s, dir)),
+    // benchmark decontamination: n-gram membership of each train doc's
+    // shingles in the held-out slice's vocabulary (doc_id % 10 == 0)
+    "t16_contamination" -> ((s, dir) => graft.textops.TextOps.contamination(s, dir)),
 
     // ---- multimodal media columns (binary payloads; DuckDB-verified)
     "m1_media_stats" -> ((s, dir) => graft.media.MediaOps.mediaStats(s, dir)),
@@ -797,6 +800,7 @@ object SparkEntry {
     "t13_rolling_fp" -> OracleSql.rollingFingerprint,
     "t14_simhash_dedup" -> OracleSql.simhashDedup(graft.textops.TextOps.HammingMax),
     "t15_simhash_groups" -> OracleSql.simhashGroups(graft.textops.TextOps.HammingMax),
+    "t16_contamination" -> OracleSql.contamination(graft.textops.TextOps.ContaminationThreshold),
     "m1_media_stats" -> OracleSql.mediaStats,
     "m2_image_meta" -> OracleSql.imageMeta,
     "m3_frame_sample" -> OracleSql.frameSample,

@@ -221,6 +221,54 @@ object TextOps {
       .orderBy("a", "b")
   }
 
+  // ---------------------------------------------------- decontamination
+
+  /** A train doc with ≥ this fraction of its distinct shingles present
+    * in the benchmark vocabulary is flagged for removal.
+    */
+  val ContaminationThreshold = 0.5
+
+  /** Benchmark decontamination (t16): flag training documents whose
+    * n-grams leak a held-out evaluation set — the standard LLM
+    * data-prep step run alongside dedup (n-gram-overlap decontamination
+    * as published for the large-LM training corpora). The deterministic
+    * benchmark slice here is `doc_id % 10 == 0`; production passes any
+    * second corpus. Reuses the memoized shingle frame, so the scan cost
+    * is shared with t5-t7.
+    */
+  def contamination(s: SparkSession, dir: String,
+      threshold: Double = ContaminationThreshold): DataFrame = {
+    val sh = shingles(s, dir)
+    contaminationFrom(
+      sh.filter(col("doc_id") % 10 =!= 0),
+      sh.filter(col("doc_id") % 10 === 0), threshold)
+  }
+
+  /** Core: per train doc, the fraction of its distinct shingles found
+    * in the benchmark shingle vocabulary. One semi-join on the shingle
+    * key + two per-doc aggregations — never a pair join: contamination
+    * is doc×vocabulary MEMBERSHIP, not doc×doc similarity, so cost is
+    * |train shingles| + |bench vocab| no matter how contaminated the
+    * corpus is (no per-key blowup to cap). The benchmark side of a real
+    * pipeline (eval suites) is tiny next to the training corpus, so the
+    * deduped vocabulary broadcasts; at adversarially equal sizes the
+    * semi-join degrades to one shuffle on the shingle key.
+    */
+  def contaminationFrom(train: DataFrame, bench: DataFrame,
+      threshold: Double): DataFrame = {
+    val vocab = bench.select("sh").distinct()
+    val hits = train.join(vocab, Seq("sh"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
+    train.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("n_contaminated", coalesce(col("n_contaminated"), lit(0L)))
+      .withColumn("contamination",
+        round(col("n_contaminated").cast("double") / col("n_shingles"), 4))
+      .withColumn("is_contaminated", col("contamination") >= threshold)
+      .select("doc_id", "n_shingles", "n_contaminated", "contamination", "is_contaminated")
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------ minhash
 
   val MinhashP = 2147483647L // 2^31 - 1
