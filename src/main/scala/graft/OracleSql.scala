@@ -91,6 +91,22 @@ object OracleSql {
       | FROM toks WHERE len(t) >= 3),
       |sh AS (SELECT DISTINCT doc_id, sh FROM sh_raw)""".stripMargin
 
+  /** t17: per-language token totals → adaptive budget (half the largest
+    * language, integer arithmetic) → deterministic md5-bucket keep
+    * decision, all integer compares so both engines agree bit-for-bit.
+    */
+  val tokenBudget: String =
+    s"""WITH d AS (SELECT doc_id, lang,
+       !  len(regexp_extract_all(text, '\\S+'))::BIGINT AS n_tokens FROM documents),
+       !t AS (SELECT lang, sum(n_tokens)::BIGINT AS total_tokens FROM d GROUP BY 1),
+       !b AS (SELECT lang, total_tokens, (max(total_tokens) OVER () + 1) // 2 AS budget FROM t)
+       !SELECT d.doc_id, d.lang, d.n_tokens,
+       ! ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % ${TextOps.BudgetBuckets} AS bucket,
+       ! (('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % ${TextOps.BudgetBuckets})
+       !   * b.total_tokens < b.budget * ${TextOps.BudgetBuckets} AS kept
+       !FROM d JOIN b USING (lang)
+       !ORDER BY d.doc_id""".stripMargin('!')
+
   /** t16: per train doc (doc_id % 10 <> 0), the fraction of its
     * distinct shingles present in the benchmark slice's (doc_id % 10
     * = 0) shingle vocabulary — membership, not pair similarity, so the

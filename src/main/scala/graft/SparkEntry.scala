@@ -609,6 +609,9 @@ object SparkEntry {
     // benchmark decontamination: n-gram membership of each train doc's
     // shingles in the held-out slice's vocabulary (doc_id % 10 == 0)
     "t16_contamination" -> ((s, dir) => graft.textops.TextOps.contamination(s, dir)),
+    // token-budget language balancing: deterministic hash-threshold
+    // down-sampling of dominant languages to an adaptive budget
+    "t17_token_budget" -> ((s, dir) => graft.textops.TextOps.tokenBudget(s, dir)),
 
     // ---- multimodal media columns (binary payloads; DuckDB-verified)
     "m1_media_stats" -> ((s, dir) => graft.media.MediaOps.mediaStats(s, dir)),
@@ -801,6 +804,7 @@ object SparkEntry {
     "t14_simhash_dedup" -> OracleSql.simhashDedup(graft.textops.TextOps.HammingMax),
     "t15_simhash_groups" -> OracleSql.simhashGroups(graft.textops.TextOps.HammingMax),
     "t16_contamination" -> OracleSql.contamination(graft.textops.TextOps.ContaminationThreshold),
+    "t17_token_budget" -> OracleSql.tokenBudget,
     "m1_media_stats" -> OracleSql.mediaStats,
     "m2_image_meta" -> OracleSql.imageMeta,
     "m3_frame_sample" -> OracleSql.frameSample,

@@ -269,6 +269,47 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------------ corpus balancing
+
+  /** Hash-bucket modulus for the sampling threshold. */
+  val BudgetBuckets = 10000L
+
+  /** Token-budget language balancing (t17): down-sample dominant
+    * languages toward a per-language token budget — the data-mixing
+    * move when one language dwarfs the rest. The adaptive target here
+    * is half the largest language's total (integer arithmetic:
+    * `(max + 1) div 2`); production passes any per-language budget
+    * table. Reads only (doc_id, lang, text) and tokenizes with t1's
+    * whitespace rule.
+    */
+  def tokenBudget(s: SparkSession, dir: String): DataFrame =
+    tokenBudgetFrom(docs(s, dir).select(col("doc_id"), col("lang"),
+      size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long").as("n_tokens")))
+
+  /** Core: keep doc iff `bucket(doc) × total_tokens(lang) < budget ×
+    * BudgetBuckets` — a deterministic md5 hash threshold in pure
+    * integer arithmetic (mirrored exactly in the oracle; no float
+    * rounding to diverge between engines). NOT an exact cumulative
+    * cut: that needs a sequential per-language window — a
+    * single-partition scan of the dominant language at corpus scale —
+    * while this is one vocabulary-bounded aggregate + a broadcast join
+    * + a map, landing within sampling noise of the budget. The
+    * unpartitioned max window runs on the ≤|langs|-row totals frame,
+    * never the corpus.
+    */
+  def tokenBudgetFrom(d: DataFrame): DataFrame = {
+    val budgets = d.groupBy("lang").agg(sum("n_tokens").as("total_tokens"))
+      .withColumn("budget", expr("(max(total_tokens) OVER () + 1) div 2"))
+    d.join(broadcast(budgets), Seq("lang"))
+      .withColumn("bucket",
+        expr("cast(conv(substring(md5(cast(doc_id AS string)), 1, 8), 16, 10) as bigint)")
+          % BudgetBuckets)
+      .withColumn("kept",
+        col("bucket") * col("total_tokens") < col("budget") * BudgetBuckets)
+      .select("doc_id", "lang", "n_tokens", "bucket", "kept")
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------ minhash
 
   val MinhashP = 2147483647L // 2^31 - 1
