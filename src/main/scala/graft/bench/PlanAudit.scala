@@ -21,7 +21,10 @@ object PlanAudit {
       // round-4 additions: facet column pruning at the cache scan (the
       // InMemoryTableScan Output list must name only the facet's
       // columns, with the kind predicate pushed into the scan)
-      "x_fact_summary_core", "x_disambig_core", "x_typed_facts_core")
+      "x_fact_summary_core", "x_disambig_core", "x_typed_facts_core",
+      // round-4 ops: t16 must be a semi-join + aggs (no pair join),
+      // t17 must broadcast the tiny budgets frame
+      "t16_contamination", "t17_token_budget")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
