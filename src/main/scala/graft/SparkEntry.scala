@@ -612,6 +612,9 @@ object SparkEntry {
     // token-budget language balancing: deterministic hash-threshold
     // down-sampling of dominant languages to an adaptive budget
     "t17_token_budget" -> ((s, dir) => graft.textops.TextOps.tokenBudget(s, dir)),
+    // the composed end-to-end curation decision: quality + dedup +
+    // decontamination + balancing, every flag re-derived by the oracle
+    "t18_curation_funnel" -> ((s, dir) => graft.textops.TextOps.curationFunnel(s, dir)),
 
     // ---- multimodal media columns (binary payloads; DuckDB-verified)
     "m1_media_stats" -> ((s, dir) => graft.media.MediaOps.mediaStats(s, dir)),
@@ -805,6 +808,8 @@ object SparkEntry {
     "t15_simhash_groups" -> OracleSql.simhashGroups(graft.textops.TextOps.HammingMax),
     "t16_contamination" -> OracleSql.contamination(graft.textops.TextOps.ContaminationThreshold),
     "t17_token_budget" -> OracleSql.tokenBudget,
+    "t18_curation_funnel" -> OracleSql.curationFunnel(0.5, 0.5,
+      graft.textops.TextOps.ContaminationThreshold),
     "m1_media_stats" -> OracleSql.mediaStats,
     "m2_image_meta" -> OracleSql.imageMeta,
     "m3_frame_sample" -> OracleSql.frameSample,

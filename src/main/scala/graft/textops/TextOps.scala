@@ -269,6 +269,46 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------------- curation funnel
+
+  /** Full curation funnel (t18): the end-to-end per-document keep
+    * decision a training-data pipeline materializes once per corpus —
+    * quality gate + exact dedup + near-dup groups (t11's stages,
+    * language-agnostic here: t17's balancing replaces t11's hard lang
+    * filter) + benchmark decontamination (t16) + token-budget
+    * balancing (t17). Every input is a memoized stage frame, so the
+    * funnel itself is a handful of per-doc-row joins; at corpus scale
+    * each stage frame is written once and the funnel is the join of
+    * those decision tables.
+    */
+  def curationFunnel(s: SparkSession, dir: String,
+      minQuality: Double = 0.5): DataFrame = {
+    val q = qualityScore(s, dir).select(col("doc_id"), col("quality_score"))
+    val ex = dedupExact(s, dir).select(col("doc_id"), col("rn"))
+    val nd = dupGroups(s, dir).select(col("doc_id"), col("group_id"))
+    val cont = contamination(s, dir).select(col("doc_id"), col("is_contaminated"))
+    val bud = tokenBudget(s, dir).select(col("doc_id"), col("kept").as("budget_kept"))
+    docs(s, dir).select("doc_id")
+      .join(q, "doc_id").join(ex, "doc_id")
+      .join(nd, Seq("doc_id"), "left")
+      // benchmark docs and <3-token docs have no contamination row:
+      // the former are excluded by is_train, the latter count as clean
+      .join(cont, Seq("doc_id"), "left")
+      .join(bud, "doc_id")
+      .withColumn("is_train", col("doc_id") % 10 =!= 0)
+      .withColumn("quality_ok", col("quality_score") >= minQuality)
+      .withColumn("exact_dup", col("rn") > 1)
+      .withColumn("near_dup_loser",
+        col("group_id").isNotNull && col("group_id") =!= col("doc_id"))
+      .withColumn("contaminated", coalesce(col("is_contaminated"), lit(false)))
+      .withColumn("keep_final", col("is_train") && col("quality_ok") &&
+        !col("exact_dup") && !col("near_dup_loser") &&
+        !col("contaminated") && col("budget_kept"))
+      .select("doc_id", "is_train", "quality_ok", "exact_dup", "near_dup_loser",
+        "contaminated", "budget_kept", "keep_final")
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------ corpus balancing
 
   /** Hash-bucket modulus for the sampling threshold. */
