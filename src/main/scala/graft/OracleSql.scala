@@ -1751,6 +1751,25 @@ object OracleSql {
        |FROM t, i, h""".stripMargin
   }
 
+  /** s7 oracle: same composition as s6 with the sign-LSH path under
+    * test — truth and candidate top-k re-derived, compared in SQL.
+    */
+  def lshAnnRecall(nQueries: Int, k: Int): String = {
+    import graft.sim.Similarity.NumTables
+    val truth = cosineTopK(nQueries, k).stripSuffix("ORDER BY q_id, rank").trim
+    val lsh = lshTopK(nQueries, k).stripSuffix("ORDER BY q_id, rank").trim
+    s"""WITH truth AS (SELECT q_id, vec_id FROM ($truth)),
+       |lsh AS (SELECT q_id, vec_id FROM ($lsh)),
+       |h AS (SELECT count(*) AS n FROM truth JOIN lsh USING (q_id, vec_id)),
+       |t AS (SELECT count(*) AS n FROM truth),
+       |l AS (SELECT count(*) AS n FROM lsh)
+       |SELECT $NumTables::BIGINT AS n_tables, t.n::BIGINT AS n_truth,
+       | l.n::BIGINT AS n_lsh, h.n::BIGINT AS n_hits,
+       | CASE WHEN t.n = 0 THEN 1.0 ELSE round_even(h.n::DOUBLE / t.n * 10000, 0) / 10000 END AS recall,
+       | CASE WHEN l.n = 0 THEN 1.0 ELSE round_even(h.n::DOUBLE / l.n * 10000, 0) / 10000 END AS precision
+       |FROM t, l, h""".stripMargin
+  }
+
   val labelCentroids: String =
     """SELECT label, dim, round(avg(v), 4) + 0.0 AS mean_v
       |FROM (SELECT label, unnest(embedding) AS v,

@@ -315,6 +315,31 @@ object Similarity {
       .toDF("nprobe", "n_truth", "n_ivf", "n_hits", "recall", "precision")
   }
 
+  /** s7: measured sign-LSH ANN quality — the same recall/precision
+    * measurement s6 gives IVF and t12 gives MinHash-LSH, for the s2
+    * multi-table path: every ANN path in the engine has its quality
+    * quantified against the s1 brute-force truth, not asserted. Both
+    * inputs are memoized frames; the compare is one action.
+    */
+  def lshAnnRecall(s: SparkSession, dir: String, nQueries: Int = 10,
+      k: Int = 5): DataFrame = {
+    val truth = cosineTopK(s, dir, nQueries, k).select("q_id", "vec_id")
+    val lsh = lshTopK(s, dir, nQueries, k).select("q_id", "vec_id")
+    val agg = truth.withColumn("in_t", lit(1))
+      .join(lsh.withColumn("in_l", lit(1)), Seq("q_id", "vec_id"), "full_outer")
+      .agg(
+        coalesce(sum(col("in_t")), lit(0L)).as("nt"),
+        coalesce(sum(col("in_l")), lit(0L)).as("nl"),
+        coalesce(sum(when(col("in_t").isNotNull && col("in_l").isNotNull, 1L)), lit(0L)).as("nh"))
+      .head()
+    val (nTruth, nLsh, nHits) = (agg.getLong(0), agg.getLong(1), agg.getLong(2))
+    import s.implicits._
+    Seq((NumTables.toLong, nTruth, nLsh, nHits,
+      if (nTruth == 0) 1.0 else math.rint(nHits.toDouble / nTruth * 10000) / 10000,
+      if (nLsh == 0) 1.0 else math.rint(nHits.toDouble / nLsh * 10000) / 10000))
+      .toDF("n_tables", "n_truth", "n_lsh", "n_hits", "recall", "precision")
+  }
+
   /** Shuffle-free cell assignment: centroids baked as literal arrays,
     * argmax via array_max over struct(cos_c, -label) (max cosine, ties
     * to the lowest label — the oracle's ORDER BY cos_c DESC, c_label).
