@@ -83,6 +83,12 @@ object OracleSql {
        |  row_number() OVER (PARTITION BY $fpExpr ORDER BY doc_id) AS rn
        | FROM documents) ORDER BY doc_id""".stripMargin
 
+  /** t19: the streamed keeper table must equal the batch group-by. */
+  val streamDedup: String =
+    s"""SELECT $fpExpr AS fp, min(doc_id)::BIGINT AS keeper_id,
+       | count(*)::BIGINT AS n_docs
+       |FROM documents GROUP BY 1 ORDER BY keeper_id""".stripMargin
+
   /** Shared shingle CTE (distinct word-3-grams). */
   private val shinglesCte =
     """toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t FROM documents),

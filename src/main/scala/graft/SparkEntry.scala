@@ -615,6 +615,11 @@ object SparkEntry {
     // the composed end-to-end curation decision: quality + dedup +
     // decontamination + balancing, every flag re-derived by the oracle
     "t18_curation_funnel" -> ((s, dir) => graft.textops.TextOps.curationFunnel(s, dir)),
+    // dedup at ingest: the streamed keeper table must equal the batch
+    // group-by — min/count are arrival-order-insensitive, so the
+    // complete-mode sink state is deterministic
+    "t19_stream_dedup" -> ((s, dir) => graft.streaming.StreamDedup.dedupReplay(
+      s, graft.textops.TextOps.docs(s, dir))),
 
     // ---- multimodal media columns (binary payloads; DuckDB-verified)
     "m1_media_stats" -> ((s, dir) => graft.media.MediaOps.mediaStats(s, dir)),
@@ -811,6 +816,7 @@ object SparkEntry {
     "t17_token_budget" -> OracleSql.tokenBudget,
     "t18_curation_funnel" -> OracleSql.curationFunnel(0.5, 0.5,
       graft.textops.TextOps.ContaminationThreshold),
+    "t19_stream_dedup" -> OracleSql.streamDedup,
     "m1_media_stats" -> OracleSql.mediaStats,
     "m2_image_meta" -> OracleSql.imageMeta,
     "m3_frame_sample" -> OracleSql.frameSample,
