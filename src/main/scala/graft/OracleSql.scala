@@ -1743,18 +1743,28 @@ object OracleSql {
     */
   def ivfRecall(nQueries: Int, k: Int): String = {
     import graft.sim.Similarity.NProbe
-    val truth = cosineTopK(nQueries, k).stripSuffix("ORDER BY q_id, rank").trim
-    val ivf = ivfTopK(nQueries, k).stripSuffix("ORDER BY q_id, rank").trim
+    annRecallSql(cosineTopK(nQueries, k), ivfTopK(nQueries, k),
+      "nprobe", NProbe.toLong, "n_ivf")
+  }
+
+  /** The shared s6/s7 recall composition: truth and candidate top-k
+    * re-derived as subqueries, hits counted in SQL. One definition so a
+    * formula change cannot drift between the two metrics.
+    */
+  private def annRecallSql(truthSql: String, candSql: String,
+      labelCol: String, labelValue: Long, candCountCol: String): String = {
+    val truth = truthSql.stripSuffix("ORDER BY q_id, rank").trim
+    val cand = candSql.stripSuffix("ORDER BY q_id, rank").trim
     s"""WITH truth AS (SELECT q_id, vec_id FROM ($truth)),
-       |ivf AS (SELECT q_id, vec_id FROM ($ivf)),
-       |h AS (SELECT count(*) AS n FROM truth JOIN ivf USING (q_id, vec_id)),
+       |cand AS (SELECT q_id, vec_id FROM ($cand)),
+       |h AS (SELECT count(*) AS n FROM truth JOIN cand USING (q_id, vec_id)),
        |t AS (SELECT count(*) AS n FROM truth),
-       |i AS (SELECT count(*) AS n FROM ivf)
-       |SELECT $NProbe::BIGINT AS nprobe, t.n::BIGINT AS n_truth,
-       | i.n::BIGINT AS n_ivf, h.n::BIGINT AS n_hits,
+       |c AS (SELECT count(*) AS n FROM cand)
+       |SELECT $labelValue::BIGINT AS $labelCol, t.n::BIGINT AS n_truth,
+       | c.n::BIGINT AS $candCountCol, h.n::BIGINT AS n_hits,
        | CASE WHEN t.n = 0 THEN 1.0 ELSE round_even(h.n::DOUBLE / t.n * 10000, 0) / 10000 END AS recall,
-       | CASE WHEN i.n = 0 THEN 1.0 ELSE round_even(h.n::DOUBLE / i.n * 10000, 0) / 10000 END AS precision
-       |FROM t, i, h""".stripMargin
+       | CASE WHEN c.n = 0 THEN 1.0 ELSE round_even(h.n::DOUBLE / c.n * 10000, 0) / 10000 END AS precision
+       |FROM t, c, h""".stripMargin
   }
 
   /** s7 oracle: same composition as s6 with the sign-LSH path under
@@ -1762,18 +1772,8 @@ object OracleSql {
     */
   def lshAnnRecall(nQueries: Int, k: Int): String = {
     import graft.sim.Similarity.NumTables
-    val truth = cosineTopK(nQueries, k).stripSuffix("ORDER BY q_id, rank").trim
-    val lsh = lshTopK(nQueries, k).stripSuffix("ORDER BY q_id, rank").trim
-    s"""WITH truth AS (SELECT q_id, vec_id FROM ($truth)),
-       |lsh AS (SELECT q_id, vec_id FROM ($lsh)),
-       |h AS (SELECT count(*) AS n FROM truth JOIN lsh USING (q_id, vec_id)),
-       |t AS (SELECT count(*) AS n FROM truth),
-       |l AS (SELECT count(*) AS n FROM lsh)
-       |SELECT $NumTables::BIGINT AS n_tables, t.n::BIGINT AS n_truth,
-       | l.n::BIGINT AS n_lsh, h.n::BIGINT AS n_hits,
-       | CASE WHEN t.n = 0 THEN 1.0 ELSE round_even(h.n::DOUBLE / t.n * 10000, 0) / 10000 END AS recall,
-       | CASE WHEN l.n = 0 THEN 1.0 ELSE round_even(h.n::DOUBLE / l.n * 10000, 0) / 10000 END AS precision
-       |FROM t, l, h""".stripMargin
+    annRecallSql(cosineTopK(nQueries, k), lshTopK(nQueries, k),
+      "n_tables", NumTables.toLong, "n_lsh")
   }
 
   val labelCentroids: String =

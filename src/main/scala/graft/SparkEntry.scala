@@ -223,6 +223,7 @@ object SparkEntry {
       timed("warm:aux") { auxExtracted(s, dir).count() },
       timed("warm:big_corpus") { bigExtracted(s, dir).count() },
       timed("warm:stream_replay") { streamExtracted(s, dir).count() },
+      timed("warm:tokens") { graft.textops.TextOps.tokenBudget(s, dir).count() },
       timed("warm:shingles") { graft.textops.TextOps.shingles(s, dir).count() },
       timed("warm:ngram_pairs") { graft.textops.TextOps.ngramJaccard(s, dir, 0.2).count() },
       timed("warm:lsh_pairs") { graft.textops.TextOps.minhashLsh(s, dir, 0.5).count() },

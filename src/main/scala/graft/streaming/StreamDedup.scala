@@ -30,8 +30,12 @@ object StreamDedup {
     */
   def dedupReplay(spark: SparkSession, docs: DataFrame,
       numBatches: Int = 6): DataFrame = {
+    // replay DESCENDING by doc_id: each fingerprint's min id then
+    // arrives LAST, so the driver gate itself discriminates the
+    // min-aggregation from a first-row-wins keeper (ascending arrival
+    // would let a dropDuplicates-style regression pass green)
     val rows = docs.select(col("doc_id").cast("long"), col("text")).collect()
-      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(-_._1)
     require(rows.nonEmpty, "no docs to replay")
     val ss = spark.newSession()
     // state-store width sized to the replay, not the session (the q18
@@ -43,7 +47,11 @@ object StreamDedup {
     import ss.implicits._
     val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
     val name = "stream_dedup_sink"
-    val q = dedup(stream.toDS().toDF("doc_id", "text"))
+    // the docReplay convention: a MemoryStream batch arrives as ONE
+    // driver block — spread it before the per-doc fingerprint (the
+    // dominant CPU) or the whole map side runs in a single task
+    val width = spark.sparkContext.defaultParallelism
+    val q = dedup(stream.toDS().toDF("doc_id", "text").repartition(width))
       .writeStream.format("memory").queryName(name).outputMode("complete").start()
     try {
       val chunk = math.max(1, rows.length / numBatches + 1)
