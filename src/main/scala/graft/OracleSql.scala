@@ -28,7 +28,7 @@ object OracleSql {
     // (control chars embed literally; Verify's JSON dump escapes them)
     val bpe = TextOps.BpeishPattern.replace("'", "''")
     s"""SELECT doc_id,
-       ! len(regexp_extract_all(text, '\\S+')) AS n_ws_tokens,
+       ! len(regexp_extract_all(text, '${TextOps.WsTokenRegex}')) AS n_ws_tokens,
        ! len(regexp_extract_all(lower(text), '[a-z]+')) AS n_word_tokens,
        ! len(regexp_extract_all(lower(text), '$bpe'))::BIGINT AS n_bpe_tokens
        !FROM documents ORDER BY doc_id""".stripMargin('!')
@@ -103,7 +103,7 @@ object OracleSql {
     */
   val tokenBudget: String =
     s"""WITH d AS (SELECT doc_id, lang,
-       !  len(regexp_extract_all(text, '\\S+'))::BIGINT AS n_tokens FROM documents),
+       !  len(regexp_extract_all(text, '${TextOps.WsTokenRegex}'))::BIGINT AS n_tokens FROM documents),
        !t AS (SELECT lang, sum(n_tokens)::BIGINT AS total_tokens FROM d GROUP BY 1),
        !b AS (SELECT lang, total_tokens, (max(total_tokens) OVER () + 1) // 2 AS budget FROM t)
        !SELECT d.doc_id, d.lang, d.n_tokens,

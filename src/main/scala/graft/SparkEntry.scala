@@ -115,14 +115,13 @@ object SparkEntry {
       val prev = graft.matching.Corpora.bundle
       graft.matching.Corpora.install(bundle)
       try {
-        val ds = ExtractionPipeline.run(s, DocGen.rawDocs(s, dir))
-        ds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // materialize NOW: local mode shares one JVM, so later
-        // builtin-bundle queries must not interleave with lazy
-        // big-bundle partitions (production executors never alternate
-        // bundles — one active bundle per application)
-        ds.count()
-        ds
+        // localCheckpoint (eager): materializes NOW — local mode shares
+        // one JVM, so later builtin-bundle queries must not interleave
+        // with lazy big-bundle partitions — AND truncates lineage, so a
+        // lost partition can never recompute under a restored builtin
+        // bundle and silently mix bundles (r4 ADVICE; persist+count
+        // left that recompute path open on executor loss)
+        ExtractionPipeline.run(s, DocGen.rawDocs(s, dir)).localCheckpoint()
       } finally graft.matching.Corpora.install(prev)
     }
 

@@ -25,14 +25,21 @@ object Disambiguator {
     * `org_indicators`, `entity_disambiguator.py:96-120`).
     */
   val Titles = Seq("mr", "mrs", "ms", "dr", "prof")
+  val Roles = Seq("ceo", "cto", "cfo", "founder", "president", "director",
+    "manager", "chairman")
   val Actions = Seq("said", "announced", "approved", "visited", "founded", "stated")
   val OrgSuffixes = Set("inc", "corp", "llc", "ltd", "company", "department", "holdings", "agency")
   val OrgContexts = Seq("published", "merged", "acquired", "headquartered", "guidance")
 
-  /** Scoring constants (reference `:180-250`): base 0.1 each side, a
-    * +0.2 prior for the extractor's own call, strong overrides for
-    * title (person 0.8) and suffix (org 0.85), additive boosts for
-    * action verbs (+0.15) and business context (+0.1).
+  /** Scoring constants (reference `:180-250`): base 0.1 each side, strong
+    * overrides for title or role cue (person 0.8, `:222-234`), suffix
+    * (org 0.85, `:238-243`) and the ' inc/ corp/ llc' substring edge case
+    * (org 0.9, `:251-254`), additive boosts for action verbs (+0.15) and
+    * business context (+0.1). The +0.2 prior for the extractor's own
+    * call is an ADAPTATION, not a port: the reference seeds these scores
+    * from its corpus validator's confidences (`:188-196`), which this
+    * engine has no equivalent of — the prior stands in for "the extractor
+    * that emitted the mention already consulted its gazetteer".
     */
   final case class Decision(personScore: Double, orgScore: Double, decided: String)
 
@@ -55,16 +62,26 @@ object Disambiguator {
       val lastTok = ml.split("[\\s]+").last
       Actions.exists(a => sent.contains(s"$lastTok $a"))
     }
+    // role cue: "<role> <mention>" or "<mention>, <role>" (reference
+    // `:228-234`) — same strength as a title
+    val hasRole = ms.exists { case (ml, sent) =>
+      Roles.exists(r => sent.contains(s"$r $ml") || sent.contains(s"$ml, $r"))
+    }
     val hasOrgSuffix = ms.exists { case (ml, _) =>
       OrgSuffixes.contains(ml.split("[\\s.]+").last)
     }
     val hasOrgContext = ms.exists { case (_, sent) =>
       OrgContexts.exists(sent.contains)
     }
-    if (hasTitle) person = math.max(person, 0.8)
+    // the reference's "Company Name Inc" substring edge case (`:251-254`)
+    val hasIncPattern = ms.exists { case (ml, _) =>
+      ml.contains(" inc") || ml.contains(" corp") || ml.contains(" llc")
+    }
+    if (hasTitle || hasRole) person = math.max(person, 0.8)
     if (hasAction) person += 0.15
     if (hasOrgSuffix) org = math.max(org, 0.85)
     if (hasOrgContext) org += 0.1
+    if (hasIncPattern) org = math.max(org, 0.9)
     val decided = if (org > person) "ORG" else "PERSON"
     Decision(round2(person), round2(org), decided)
   }

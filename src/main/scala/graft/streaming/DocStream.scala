@@ -21,6 +21,15 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   */
 object DocStream {
 
+  /** The replay harnesses ([[docReplay]], StreamDedup.dedupReplay) are
+    * driver-bounded by construction: MemoryStream can only be fed from
+    * the driver, so the corpus is collected. Beyond this many rows the
+    * harness refuses (r4 ADVICE: a corpus-scale frame would OOM the
+    * driver before any error explained why) — use the production
+    * `readStream` shape in the scaladoc instead.
+    */
+  val MaxReplayRows = 200000
+
   def extract(spark: SparkSession, raw: Dataset[RawDoc],
       config: ExtractionPipeline.PipelineConfig = ExtractionPipeline.PipelineConfig()): Dataset[ExtractedDoc] = {
     import spark.implicits._
@@ -61,7 +70,12 @@ object DocStream {
     * per downstream facet.
     */
   def docReplay(spark: SparkSession, raw: Dataset[RawDoc], numBatches: Int = 6): org.apache.spark.sql.DataFrame = {
-    val docs = raw.collect()
+    // limit BEFORE collect: the guard must fire before the driver heap
+    // does (limit+1 rows is the most this harness will ever hold)
+    val docs = raw.limit(MaxReplayRows + 1).collect()
+    require(docs.length <= MaxReplayRows,
+      s"docReplay is a driver-memory replay harness (MemoryStream is driver-fed); " +
+        s">$MaxReplayRows rows — use the production readStream shape (see DocStream scaladoc)")
     require(docs.nonEmpty, "no docs to replay")
     val width = spark.sparkContext.defaultParallelism
     val ss = spark.newSession()

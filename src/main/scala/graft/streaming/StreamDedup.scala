@@ -34,8 +34,12 @@ object StreamDedup {
     // arrives LAST, so the driver gate itself discriminates the
     // min-aggregation from a first-row-wins keeper (ascending arrival
     // would let a dropDuplicates-style regression pass green)
-    val rows = docs.select(col("doc_id").cast("long"), col("text")).collect()
+    val rows = docs.select(col("doc_id").cast("long"), col("text"))
+      .limit(DocStream.MaxReplayRows + 1).collect()
       .map(r => (r.getLong(0), r.getString(1))).sortBy(-_._1)
+    require(rows.length <= DocStream.MaxReplayRows,
+      s"dedupReplay is a driver-memory replay harness (MemoryStream is driver-fed); " +
+        s">${DocStream.MaxReplayRows} rows — use the production readStream shape (see scaladoc)")
     require(rows.nonEmpty, "no docs to replay")
     val ss = spark.newSession()
     // state-store width sized to the replay, not the session (the q18

@@ -31,12 +31,23 @@ object TextOps {
     */
   val BpeishPattern = "'[a-z]+| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\t\n\f\r ']+"
 
-  /** t1's whitespace-token count — the one '\S+' rule the oracle SQL
+  /** The whitespace-token separator class, spelled character-by-character:
+    * Java's \s includes U+000B (vertical tab) where RE2's does not, so a
+    * bare '\S+' silently diverges between Spark and DuckDB on any text
+    * containing \x0B (r4 ADVICE, generalizing the r3 drift lesson). One
+    * constant — the oracle SQL interpolates it verbatim (standard SQL
+    * strings keep backslashes literal) and the Spark expr doubles the
+    * backslashes for its escape-processing literal — so the two engines'
+    * regexes cannot drift.
+    */
+  val WsTokenRegex: String = "[^ \\t\\n\\x0B\\f\\r]+"
+
+  /** t1's whitespace-token count — the one ws-token rule the oracle SQL
     * mirrors; every consumer (t1, t17) must use THIS column, never a
     * re-spelled copy (the r3 Java-vs-RE2 drift lesson).
     */
   private def wsTokenCount: Column =
-    size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long")
+    size(expr(s"regexp_extract_all(text, '${WsTokenRegex.replace("\\", "\\\\")}', 0)")).cast("long")
 
   /** First 8 md5 hex chars of a column as a BIGINT — the portable
     * cross-engine hash (DuckDB: `('0x' || substr(md5(x),1,8))::BIGINT`)

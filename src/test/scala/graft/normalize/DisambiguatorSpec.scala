@@ -43,6 +43,30 @@ class DisambiguatorSpec extends AnyFunSuite {
     assert(mixed.personScore == 0.95)
   }
 
+  test("role cue is as strong as a title (reference :228-234)") {
+    val d = Disambiguator.score("ORG",
+      Seq(("Quinn", "ceo quinn announced the merger plan today.")))
+    // role override 0.8 + action "announced" 0.15 vs org prior 0.3 + 0.1
+    // context ("merged" is not in the sentence, "announced" is person-side)
+    assert(d.decided == "PERSON")
+    assert(d.personScore == 0.95 && d.orgScore == 0.3)
+  }
+
+  test("appositive role cue fires: '<mention>, <role>'") {
+    val d = Disambiguator.score("ORG", Seq(("Quinn", "quinn, cfo of the plant.")))
+    assert(d.decided == "PERSON")
+    assert(d.personScore == 0.8)
+  }
+
+  test("' inc' substring edge case overrides to org 0.9 (reference :251-254)") {
+    // "Quinn Incorporated" — the suffix token is NOT in OrgSuffixes
+    // ("incorporated"), so only the substring edge case catches it
+    val d = Disambiguator.score("PERSON",
+      Seq(("Quinn Incorporated", "quinn incorporated filed the report.")))
+    assert(d.decided == "ORG")
+    assert(d.orgScore == 0.9 && d.personScore == 0.3)
+  }
+
   test("evidence cues are idempotent across mentions") {
     val d = Disambiguator.score("PERSON", Seq(
       ("Mr. Quinn", "quinn approved the budget."),
