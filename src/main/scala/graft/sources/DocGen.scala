@@ -301,8 +301,26 @@ object DocGen {
     s"President $sur of the Department of $dept visited $valley Valley."
   }
 
+  /** X2 CompanyFact exercise sentence (text mode only, like the
+    * discovery sentence): a private-company mention in business context
+    * (`semantic_fact_extractor.py:147-153`'s company_name +
+    * industry_sector + business_context shape). Invented names carry NO
+    * legal suffix on purpose — an ' Inc'/' Corp' tail would be claimed
+    * by E4's suffix-walk (new ORG entity in every entity/canonical
+    * oracle) and by GapDiscovery's corporate_suffix pattern; the
+    * "contractor <Name>" cue keeps the sentence visible ONLY to the
+    * typed SPO pattern. Sector words collide with no classifier keyword,
+    * content-flag or gazetteer list.
+    */
+  private[sources] def companySentence(id: Long): String = {
+    val name = Seq("Varnell", "Tredgold", "Mallorby", "Quenton")((id % 4).toInt)
+    val sector = Seq("paving", "glazing", "joinery", "dredging")(((id / 4) % 4).toInt)
+    s"The contractor $name operates in the $sector sector."
+  }
+
   private def synthText(id: Long, text: String): RawDoc = {
-    val body = (sentences(text) ++ entitySentences(id) :+ discoverySentence(id)).mkString(" ")
+    val body = (sentences(text) ++ entitySentences(id) :+ discoverySentence(id)
+      :+ companySentence(id)).mkString(" ")
     RawDoc(s"doc$id", "text", "", Seq.empty, body, body.length.toLong,
       math.max(1, (body.length + 2999) / 3000))
   }

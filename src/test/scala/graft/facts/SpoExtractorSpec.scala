@@ -102,6 +102,33 @@ class SpoExtractorSpec extends AnyFunSuite {
       Seq(Seq("fine", "penalt"), Seq("$")))
   }
 
+  test("X2: the four r5 typed subclasses fire from config rows (semantic_fact_extractor.py:94-162)") {
+    val text = "Guardrails must measure 34-41 inches and reports shall be filed within 30 days. " +
+      "OSHA and NIOSH published workplace safety and fall protection guidance in the Federal Register. " +
+      "The meeting starts at 2:30 PM in Denver. " +
+      "The contractor Varnell operates in the paving sector."
+    val facts = SpoExtractor.extract(text, SpoExtractor.typedPatterns)
+    val byType = facts.groupBy(_.fact_type)
+    val m = byType("measurement_requirement").head
+    assert(m.subject == "Guardrails" && m.`object` == "34-41 inches" &&
+      m.predicate == "MUST_MEASURE" && m.confidence == 0.85 && m.actionable)
+    val r = byType("regulatory_authority").head
+    assert(r.subject == "OSHA" && r.`object` == "workplace safety and fall protection" &&
+      r.confidence == 0.9)
+    val g = byType("geographic").head
+    assert(g.subject == "geographic" && g.`object` == "Denver" &&
+      g.predicate == "LOCATED_IN" && g.confidence == 0.8)
+    val c = byType("company").head
+    assert(c.subject == "Varnell" && c.`object` == "paving" &&
+      c.predicate == "OPERATES_IN" && c.confidence == 0.8)
+    // the overlapping builtin requirement fact survives alongside the
+    // measurement fact: dedup is per fact_type
+    assert(byType.contains("requirement"))
+    // and the builtin-only run sees none of the typed types
+    val builtin = SpoExtractor.extract(text)
+    assert(!builtin.exists(f => SpoExtractor.typedFactTypes.contains(f.fact_type)))
+  }
+
   test("X3: compiled cache keys on the rows, not the version string") {
     val text = "Project Alpha supersedes Project Beta."
     val row = ("supersedes", "(?i)\\b([A-Z][\\w ,'-]{2,60}?)\\s+supersedes\\s+([\\w ,'-]{3,160}?)(?:\\.|$|;)",

@@ -57,7 +57,10 @@ class TypedFactsSpec extends AnyFunSuite {
     val ext = SpoExtractor.extract(t, typed)
     assert(base.forall(b => ext.exists(e =>
       e.fact_type == b.fact_type && e.subject == b.subject && e.`object` == b.`object`)))
-    assert(ext.count(f => SpoExtractor.typedFactTypes.contains(f.fact_type)) === 1)
+    // contact_info on the first sentence, measurement_requirement (r5)
+    // on the second — and nothing else typed
+    assert(ext.filter(f => SpoExtractor.typedFactTypes.contains(f.fact_type))
+      .map(_.fact_type).sorted === Seq("contact_info", "measurement_requirement"))
     assert(base.forall(f => !SpoExtractor.typedFactTypes.contains(f.fact_type)))
   }
 }
