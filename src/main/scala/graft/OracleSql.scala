@@ -89,6 +89,18 @@ object OracleSql {
        | count(*)::BIGINT AS n_docs
        |FROM documents GROUP BY 1 ORDER BY keeper_id""".stripMargin
 
+  /** t20: the watermark-bounded replay contract (see
+    * StreamDedup.boundedReplay) — every exact-dedup keeper emits once;
+    * the id%3=0 keepers, whose duplicate arrives beyond the horizon
+    * after their state was evicted, emit a second time; the id%3!=0
+    * keepers' in-horizon duplicate is dropped. The count vector is the
+    * state-bounding behavior itself.
+    */
+  val streamDedupBounded: String =
+    s"""WITH k AS (SELECT min(doc_id)::BIGINT AS keeper_id FROM documents GROUP BY $fpExpr)
+       |SELECT keeper_id, (CASE WHEN keeper_id % 3 = 0 THEN 2 ELSE 1 END)::BIGINT AS n_emits
+       |FROM k ORDER BY keeper_id""".stripMargin
+
   /** Shared shingle CTE (distinct word-3-grams). */
   private val shinglesCte =
     """toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t FROM documents),

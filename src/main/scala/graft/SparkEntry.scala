@@ -620,6 +620,11 @@ object SparkEntry {
     // complete-mode sink state is deterministic
     "t19_stream_dedup" -> ((s, dir) => graft.streaming.StreamDedup.dedupReplay(
       s, graft.textops.TextOps.docs(s, dir))),
+    // the production state-BOUNDED variant: watermark horizon evicts
+    // fingerprint state — in-horizon dup dropped, beyond-horizon dup
+    // re-admitted; the emission-count vector gates both sides
+    "t20_stream_dedup_bounded" -> ((s, dir) => graft.streaming.StreamDedup.boundedReplay(
+      s, graft.textops.TextOps.docs(s, dir))),
 
     // ---- multimodal media columns (binary payloads; DuckDB-verified)
     "m1_media_stats" -> ((s, dir) => graft.media.MediaOps.mediaStats(s, dir)),
@@ -817,6 +822,7 @@ object SparkEntry {
     "t18_curation_funnel" -> OracleSql.curationFunnel(0.5, 0.5,
       graft.textops.TextOps.ContaminationThreshold),
     "t19_stream_dedup" -> OracleSql.streamDedup,
+    "t20_stream_dedup_bounded" -> OracleSql.streamDedupBounded,
     "m1_media_stats" -> OracleSql.mediaStats,
     "m2_image_meta" -> OracleSql.imageMeta,
     "m3_frame_sample" -> OracleSql.frameSample,

@@ -37,6 +37,34 @@ class StreamDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Map(1L -> 2L, 3L -> 1L, 5L -> 1L), s"got $out")
   }
 
+  test("t20: in-horizon dup dropped, beyond-horizon dup re-admitted (state evicted)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def at(off: Long) = new java.sql.Timestamp(base + off * 1000L)
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = StreamDedup.dedupBounded(
+        stream.toDS().toDF("doc_id", "text", "ingest_ts"), "100 seconds")
+      .writeStream.format("memory").queryName("sdb_test").outputMode("append").start()
+    try {
+      // first sightings
+      stream.addData(Seq((1L, "alpha", at(0)), (2L, "beta", at(0)))); q.processAllAvailable()
+      // in-horizon duplicate of "alpha" -> dropped
+      stream.addData(Seq((3L, "alpha", at(10)))); q.processAllAvailable()
+      // two watermark ticks push the watermark to T+900 and give the
+      // store a batch boundary to evict on
+      stream.addData(Seq((-1L, "tick", at(1000)))); q.processAllAvailable()
+      stream.addData(Seq((-2L, "tick-two", at(1001)))); q.processAllAvailable()
+      // beyond-horizon duplicate of "beta" -> state evicted, re-admitted
+      stream.addData(Seq((4L, "beta", at(950)))); q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("sdb_test").collect().map(_.getLong(0)).toSet
+    assert(ids.contains(1L) && ids.contains(2L), s"first sightings must emit: $ids")
+    assert(!ids.contains(3L), s"in-horizon duplicate must be dropped: $ids")
+    assert(ids.contains(4L), s"beyond-horizon duplicate must be re-admitted: $ids")
+  }
+
   test("replay harness equals the direct batch group-by") {
     import spark.implicits._
     val docs = Seq((10L, "x y"), (11L, "x y"), (12L, "z"), (13L, "x y"))
