@@ -723,6 +723,80 @@ object OracleSql {
        !ORDER BY doc_id, domain_entity""".stripMargin('!')
   }
 
+  /** A5 keyword oracle: the tagger's frequency keywords recomputed in
+    * SQL over the same reconstructed classify input (tokd.lmd) — word
+    * regex, stoplist, length/frequency gates and top-K all generated
+    * from the Tagger constants.
+    */
+  val xKeywords: String = {
+    import graft.classify.Tagger
+    val stop = Tagger.StopWords.toSeq.sorted.map(w => s"'$w'").mkString(", ")
+    s"""WITH $docSynthCte,
+       !$mdCte,
+       !w AS (SELECT did, unnest(regexp_extract_all(lmd, '${Tagger.KeywordWordRegex}')) AS w FROM tokd),
+       !f AS (SELECT did, w, count(*)::BIGINT AS freq FROM w
+       !  WHERE length(w) >= ${Tagger.MinKeywordLen} AND w NOT IN ($stop)
+       !  GROUP BY did, w HAVING count(*) >= ${Tagger.MinKeywordFreq}),
+       !r AS (SELECT did, w, freq,
+       !  row_number() OVER (PARTITION BY did ORDER BY freq DESC, w) AS rank
+       !  FROM f)
+       !SELECT did AS doc_id, rank::BIGINT AS rank, w AS keyword, freq
+       !FROM r WHERE rank <= ${Tagger.MaxKeywords} ORDER BY doc_id, rank""".stripMargin('!')
+  }
+
+  /** A5 tag-metadata oracle: topics (domain-keyed substring checks with
+    * the general fallback), the technical score (density formula with
+    * round-half-even), and word/unique-term counts — every regex,
+    * topic phrase, cue and constant interpolated from Tagger so the
+    * engines cannot drift. The domain argmax CTE is the xClassify one.
+    */
+  val xTagsMeta: String = {
+    import graft.classify.Tagger
+    import graft.matching.Corpora.domainKeywords
+    val dScores = scoreColumns(domainKeywords, "dom", "toks", "lmd")
+    val dN = famNames(domainKeywords)
+    val dTotal = dN.map(d => s"dom_$d").mkString(" + ")
+    val dMx = "greatest(" + dN.map(d => s"dom_$d").mkString(", ") + ")"
+    val dArg = "CASE " + dN.map(d => s"WHEN dom_$d = mx THEN '$d'").mkString(" ") + " END"
+    def topicList(topics: Seq[String]): String =
+      "list_filter([" + topics.map { t =>
+        val cond = t.split(" ").map(w => s"contains(lmd, '$w')").mkString(" OR ")
+        s"CASE WHEN $cond THEN '$t' ELSE NULL END"
+      }.mkString(", ") + "], x -> x IS NOT NULL)"
+    val fallback = "list_filter([" + Tagger.FallbackTopics.map { case (cue, t) =>
+      s"CASE WHEN contains(lmd, '$cue') THEN '$t' ELSE NULL END"
+    }.mkString(", ") + "], x -> x IS NOT NULL)"
+    val topicsExpr = "CASE " +
+      Seq("safety", "technology", "financial").map { d =>
+        val l = topicList(Tagger.topicsByDomain(d))
+        s"WHEN dom2 = '$d' AND len($l) > 0 THEN $l"
+      }.mkString(" ") + s" ELSE $fallback END"
+    s"""WITH $docSynthCte,
+       !$mdCte,
+       !scored AS MATERIALIZED (
+       ! SELECT did, id, lmd,
+       !  $dScores,
+       !  len(regexp_extract_all(lmd, '${Tagger.TechnicalRegex}'))::BIGINT AS tech,
+       !  len(regexp_extract_all(lmd, '${Tagger.CodeRegex}'))::BIGINT AS code,
+       !  len(regexp_extract_all(lmd, '${Tagger.NumberRegex}'))::BIGINT AS nums,
+       !  len(regexp_extract_all(lmd, '${Tagger.SpecialCharClassRegex}'))::BIGINT AS spec,
+       !  len(regexp_extract_all(lmd, '${TextOps.WsTokenRegex}'))::BIGINT AS wc,
+       !  len(list_distinct(regexp_extract_all(lmd, '${TextOps.WsTokenRegex}')))::BIGINT AS uniq
+       ! FROM tokd),
+       !agg AS (
+       ! SELECT *, $dTotal AS dom_total, $dMx AS mx FROM scored),
+       !dom AS (
+       ! SELECT *, CASE WHEN dom_total <= 0 THEN 'general' ELSE $dArg END AS dom2 FROM agg)
+       !SELECT did AS doc_id,
+       ! coalesce(array_to_string(list_slice($topicsExpr, 1, ${Tagger.MaxTopics}), ','), '') AS topics,
+       ! CASE WHEN wc = 0 THEN 0.0 ELSE
+       !  round_even(least(1.0::DOUBLE,
+       !    (tech + code * 2)::DOUBLE / wc * 10 + nums::DOUBLE / wc * 5 + spec::DOUBLE / wc * 2) * 100, 0) / 100
+       ! END AS technical_score,
+       ! wc AS word_count, uniq AS unique_terms
+       !FROM dom ORDER BY doc_id""".stripMargin('!')
+  }
+
   /** E1-E19 Core-8 extraction oracle over the modes whose clean text is
     * exactly reconstructable (html + text). PDF two-column docs split
     * sentences at 240-char chunk boundaries and reorder columns, so

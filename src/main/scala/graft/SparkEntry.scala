@@ -277,6 +277,12 @@ object SparkEntry {
         col("meta.primary_domain_confidence").as("confidence"),
         col("meta.primary_document_type").as("doc_type"))
         .orderBy(col("doc_id"))),
+    // A5 keyword/topic/technical-score tagging (mvp-hyper-tagger):
+    // document-local aggregations over the classify input string
+    "x_keywords" -> ((s, dir) =>
+      graft.classify.Tagger.keywordRows(extracted(s, dir))),
+    "x_tags_meta" -> ((s, dir) =>
+      graft.classify.Tagger.tagMeta(extracted(s, dir))),
     "x_entities" -> ((s, dir) => entitiesOf(extracted(s, dir))),
     // Core-8 extraction hash-gate over the exactly-reconstructable modes
     // (html + text; pdf chunking mangles entity surface — see oracle doc)
@@ -784,6 +790,8 @@ object SparkEntry {
     "x_office_entities" -> OracleSql.xOfficeEntities,
     "x_office_facts" -> OracleSql.xOfficeFacts,
     "x_classify" -> OracleSql.xClassify,
+    "x_keywords" -> OracleSql.xKeywords,
+    "x_tags_meta" -> OracleSql.xTagsMeta,
     "x_domain_entities" -> OracleSql.xDomainEntities,
     "x_entities_core" -> OracleSql.xEntitiesCore,
     "x_big_entities_core" -> OracleSql.xEntitiesCore,
