@@ -20,17 +20,31 @@ object Bench {
     // HERE, attributed explicitly — per-query numbers then measure the
     // query, not whichever one ran first in map order
     val warm = SparkEntry.warmFamilies(spark, sfDir)
-    val results = warm ++ SparkEntry.queries.toSeq.map { case (name, fn) =>
-      SparkEntry.timed(name) { fn(spark, sfDir).count() }
+    // best-of-2 per query (r4 lesson: a single slow host window inflated
+    // 45/48 BENCH numbers 3-10x and corrupted the round's record) — both
+    // passes are emitted so a consumer can see the spread; the headline
+    // per-query value is the min. Warm families run ONCE by design:
+    // they time one-time cache materialization, which a second pass
+    // would measure as a no-op
+    val names = SparkEntry.queries.toSeq
+    val passes = (1 to 2).map { _ =>
+      names.map { case (name, fn) => SparkEntry.timed(name) { fn(spark, sfDir).count() } }
     }
+    val best = passes.head.zip(passes(1)).map { case ((k, v1, f1), (_, v2, f2)) =>
+      (k, math.min(v1, v2), f1 || f2)
+    }
+    val results = warm ++ best
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val passJson = passes.map(p =>
+      p.map { case (k, v, _) => s"\"" + k + "\":" + v }.mkString("{", ",", "}"))
+      .mkString("[", ",", "]")
     // failures are machine-readable, not stderr-only: a fast failure must
     // never read as a fast query to a consumer comparing BENCH rounds
     val failed = results.collect { case (k, _, true) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passJson,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
