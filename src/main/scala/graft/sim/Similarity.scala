@@ -204,16 +204,34 @@ object Similarity {
     */
   val MaxSignBucket = 1000
 
+  /** Exact-dedup keepers: one min vec_id per byte-identical vector,
+    * grouped on a 128-bit CONTENT FINGERPRINT (two independent xxhash64
+    * words over the array) instead of the vector payload — the
+    * exact-dedup shuffle carries 16 bytes per row where grouping on the
+    * array itself would shuffle the full embedding (at 10^9 × 256B+
+    * vectors that is the difference between a 16 GB and a 256 GB+
+    * shuffle). Grouping by fingerprint equals grouping by vector up to
+    * hash collisions (~2^-128 per pair — the standard content-address
+    * trade, and the t9/s5 oracles group by the vector itself, so a
+    * collision would surface as a red row, not silence). Plan shape
+    * (exchange keyed on the fingerprint, not the array) is pinned by
+    * EmbeddingKeeperSpec.
+    */
+  def exactKeepers(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+        struct(
+          xxhash64(col("embedding")).as("h1"),
+          xxhash64(col("embedding"), lit(1L)).as("h2")).as("efp"))
+      .groupBy("efp")
+      .agg(min(col("vec_id")).as("vec_id"))
+      .select("vec_id")
+
   private def embeddingDedupUncached(s: SparkSession, dir: String, threshold: Double): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(s)
     val emb = embeddings(s, dir)
-    // exact-dedup-first: one keeper per identical vector, so byte-equal
-    // embeddings collapse before bucket pairing. The grouping key here
-    // is the array itself (map-side partial agg); at 10^9 vectors you'd
-    // precompute a 128-bit content fingerprint column and group on that
-    // to shuffle 16 bytes instead of the vector payload.
-    val keepers = emb.groupBy(col("embedding"))
-      .agg(min(col("vec_id")).as("vec_id")).select("vec_id")
+    // exact-dedup-first: byte-equal embeddings collapse before bucket
+    // pairing, via the fingerprint-keyed keeper selection
+    val keepers = exactKeepers(emb)
     val buckets = lshBuckets(s, dir)
       .join(keepers, Seq("vec_id"), "left_semi")
     val bsz = buckets.groupBy("tbl", "bucket").agg(count(lit(1)).as("bsz"))
