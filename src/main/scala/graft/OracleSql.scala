@@ -1736,11 +1736,11 @@ object OracleSql {
        | / (sqrt(list_reduce(list_transform(range(len($a)), i -> $a[i+1]::DOUBLE * $a[i+1]::DOUBLE), (x, y) -> x + y))
        |  * sqrt(list_reduce(list_transform(range(len($b)), i -> $b[i+1]::DOUBLE * $b[i+1]::DOUBLE), (x, y) -> x + y))))""".stripMargin
 
-  def cosineTopK(nQueries: Int, k: Int): String =
-    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < $nQueries),
+  def cosineTopK(nQueries: Int, k: Int, src: String = "embeddings"): String =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM $src WHERE vec_id < $nQueries),
        |j AS (SELECT q_id, vec_id,
        |  round(${cosineSql("q_emb", "embedding")}, 4) AS cos
-       | FROM embeddings, q WHERE vec_id <> q_id),
+       | FROM $src, q WHERE vec_id <> q_id),
        |r AS (SELECT q_id, vec_id, cos,
        |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM j)
        |SELECT q_id, rank, vec_id, cos FROM r WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
@@ -1822,16 +1822,16 @@ object OracleSql {
        | / (sqrt(list_reduce(list_transform(range(len($a)), i -> $a[i+1]::DOUBLE * $a[i+1]::DOUBLE), (x, y) -> x + y))
        |  * sqrt(list_reduce(list_transform(range(len($c)), i -> $c[i+1] * $c[i+1]), (x, y) -> x + y))))""".stripMargin
 
-  def ivfTopK(nQueries: Int, k: Int): String = {
+  def ivfTopK(nQueries: Int, k: Int, src: String = "embeddings"): String = {
     import graft.sim.Similarity.NProbe
     s"""WITH exp AS (SELECT label, unnest(embedding) AS v,
-       |  generate_subscripts(embedding, 1) - 1 AS dim FROM embeddings),
+       |  generate_subscripts(embedding, 1) - 1 AS dim FROM $src),
        |cent AS (SELECT label, dim, round(avg(v), 4) + 0.0 AS mean_v FROM exp GROUP BY 1, 2),
        |centarr AS (SELECT label AS c_label, list(mean_v ORDER BY dim) AS centroid
        | FROM cent GROUP BY 1),
        |asg0 AS (SELECT e.vec_id, e.embedding, c.c_label,
        |  ${cosineMixedSql("e.embedding", "c.centroid")} AS cos_c
-       | FROM embeddings e CROSS JOIN centarr c),
+       | FROM $src e CROSS JOIN centarr c),
        |asg AS (SELECT vec_id, embedding, c_label AS cell FROM (
        | SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, c_label) AS rn
        | FROM asg0) WHERE rn = 1),
@@ -1852,6 +1852,23 @@ object OracleSql {
   def ivfRecall(nQueries: Int, k: Int): String = {
     import graft.sim.Similarity.NProbe
     annRecallSql(cosineTopK(nQueries, k), ivfTopK(nQueries, k),
+      "nprobe", NProbe.toLong, "n_ivf")
+  }
+
+  /** s8 oracle: the s6 composition over the CLUSTERED family — the
+    * label-correlated vectors re-derived verbatim from (vec_id, label)
+    * with the engine's constants (Similarity.ClusterDim/ClusterSep) and
+    * the shared md5-head-8 idiom, then the identical truth/IVF/recall
+    * SQL with the synthesized subquery as the source table.
+    */
+  def ivfRecallClustered(nQueries: Int, k: Int): String = {
+    import graft.sim.Similarity.{ClusterDim, ClusterSep, NProbe}
+    val src =
+      s"""(SELECT vec_id, label, list_transform(range($ClusterDim), d ->
+         |  ((('0x' || substr(md5(vec_id || '_' || d), 1, 8))::BIGINT % 1000)::DOUBLE / 1000.0 - 0.5
+         |   + (CASE WHEN label % $ClusterDim = d THEN $ClusterSep ELSE 0.0 END))::FLOAT) AS embedding
+         | FROM embeddings)""".stripMargin
+    annRecallSql(cosineTopK(nQueries, k, src), ivfTopK(nQueries, k, src),
       "nprobe", NProbe.toLong, "n_ivf")
   }
 

@@ -645,6 +645,11 @@ object SparkEntry {
     "s3_label_centroids" -> ((s, dir) => graft.sim.Similarity.labelCentroids(s, dir)),
     "s4_ivf_topk" -> ((s, dir) => graft.sim.Similarity.ivfTopK(s, dir, 10, 5)),
     "s6_ivf_recall" -> ((s, dir) => graft.sim.Similarity.ivfRecall(s, dir, 10, 5)),
+    // the same measurement on the label-correlated clustered family:
+    // recall at fixed nprobe as a function of cluster purity (s6's
+    // near-uniform corpus is the probed-mass worst case)
+    "s8_ivf_recall_clustered" -> ((s, dir) =>
+      graft.sim.Similarity.ivfRecallClustered(s, dir, 10, 5)),
     "s7_lsh_ann_recall" -> ((s, dir) => graft.sim.Similarity.lshAnnRecall(s, dir, 10, 5)),
     "t9_embedding_dedup" -> ((s, dir) => graft.sim.Similarity.embeddingDedup(s, dir, 0.40)),
     "s5_embedding_groups" -> ((s, dir) => graft.sim.Similarity.embeddingGroups(s, dir, 0.40))
@@ -841,6 +846,7 @@ object SparkEntry {
     "s3_label_centroids" -> OracleSql.labelCentroids,
     "s4_ivf_topk" -> OracleSql.ivfTopK(10, 5),
     "s6_ivf_recall" -> OracleSql.ivfRecall(10, 5),
+    "s8_ivf_recall_clustered" -> OracleSql.ivfRecallClustered(10, 5),
     "s7_lsh_ann_recall" -> OracleSql.lshAnnRecall(10, 5),
     "t9_embedding_dedup" -> OracleSql.embeddingDedup(0.40),
     "s5_embedding_groups" -> OracleSql.embeddingGroups(0.40)

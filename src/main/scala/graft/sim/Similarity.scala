@@ -41,9 +41,17 @@ object Similarity {
     }
 
   private def cosineTopKUncached(s: SparkSession, dir: String, nQueries: Int, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.ensureRegistered(s)
-    val emb = embeddings(s, dir)
+    cosineTopKOn(embeddings(s, dir), nQueries, k)
+  }
+
+  /** Brute-force top-k over an arbitrary (vec_id, embedding) frame —
+    * the table-reading wrapper above and the s8 clustered family share
+    * this one definition.
+    */
+  private def cosineTopKOn(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.ensureRegistered(emb.sparkSession)
     val queries = broadcast(
       emb.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")))
@@ -150,7 +158,10 @@ object Similarity {
     * sums, not raw vectors).
     */
   def labelCentroids(s: SparkSession, dir: String): DataFrame =
-    embeddings(s, dir)
+    labelCentroidsOf(embeddings(s, dir))
+
+  private def labelCentroidsOf(emb: DataFrame): DataFrame =
+    emb
       .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
       .withColumn("dim", col("dim").cast("long"))
       .groupBy("label", "dim")
@@ -171,13 +182,14 @@ object Similarity {
   def warmCentroids(s: SparkSession, dir: String): Int = collectedCentroids(s, dir).length
 
   private[sim] def collectedCentroids(s: SparkSession, dir: String): Array[(Int, Array[Double])] =
-    centroidCache.getOrElseUpdate(s, dir) {
-      labelCentroids(s, dir).collect()
-        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
-        .groupBy(_._1).toArray
-        .map { case (lbl, rows) => (lbl, rows.sortBy(_._2).map(_._3)) }
-        .sortBy(_._1)
-    }
+    centroidCache.getOrElseUpdate(s, dir) { centroidsOf(labelCentroids(s, dir)) }
+
+  private def centroidsOf(labelCentroids: DataFrame): Array[(Int, Array[Double])] =
+    labelCentroids.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).toArray
+      .map { case (lbl, rows) => (lbl, rows.sortBy(_._2).map(_._3)) }
+      .sortBy(_._1)
 
   /** Embedding-cosine near-duplicate detection: candidate pairs from the
     * multi-table LSH layout (no O(n²) scan), verified with exact cosine,
@@ -329,6 +341,53 @@ object Similarity {
     annRecall(s, cosineTopK(s, dir, nQueries, k),
       ivfTopK(s, dir, nQueries, k, nProbe), "nprobe", nProbe.toLong, "n_ivf")
 
+  // --------------------------------------- s8: clustered-corpus recall
+
+  /** Clustered synthetic embedding family: the `embeddings` table's
+    * near-uniform vectors are IVF's probed-mass worst case (s6 measures
+    * 0.36 at nprobe=2), so this family re-derives a LABEL-CORRELATED
+    * variant from the same (vec_id, label) rows — dimension `label` gets
+    * a +[[ClusterSep]] bump over U(-0.5, 0.5) md5-derived noise — to
+    * measure the same oracle-gated recall where cluster structure is
+    * REAL. Fully deterministic and reconstructed verbatim by the s8
+    * oracle (same md5-bucket idiom as t17).
+    */
+  val ClusterDim = 16
+  val ClusterSep = 3.0
+
+  def clusteredEmbeddings(s: SparkSession, dir: String): DataFrame = {
+    val comps = (0 until ClusterDim).map { d =>
+      ((graft.textops.TextOps.md5Head8(
+        concat(col("vec_id").cast("string"), lit("_" + d))) % 1000)
+        .cast("double") / 1000.0 - 0.5 +
+        when(col("label") % ClusterDim === d, lit(ClusterSep)).otherwise(lit(0.0)))
+        .cast("float")
+    }
+    embeddings(s, dir)
+      .select(col("vec_id"), col("label"), array(comps: _*).as("embedding"))
+  }
+
+  private val clusteredCache = new graft.util.SessionCache[DataFrame]
+
+  /** s8: the s6 measurement on the clustered family — same truth, same
+    * IVF path (literal-centroid cells re-derived from the clustered
+    * vectors), same recall composition; only the corpus shape differs.
+    * Together with s6 this quantifies the README claim that IVF recall
+    * at fixed nprobe is a function of cluster purity, not of the
+    * operator.
+    */
+  def ivfRecallClustered(s: SparkSession, dir: String, nQueries: Int = 10,
+      k: Int = 5, nProbe: Int = NProbe): DataFrame = {
+    val emb = clusteredCache.getOrElseUpdate(s, dir) {
+      clusteredEmbeddings(s, dir).localCheckpoint()
+    }
+    val cents = centroidsOf(labelCentroidsOf(emb))
+    val truth = cosineTopKOn(emb, nQueries, k)
+    val (assigned, probes) = literalCellsOn(emb, cents, nQueries, nProbe)
+    val cand = topKWithin(s, assigned, probes, k)
+    annRecall(s, truth, cand, "nprobe", nProbe.toLong, "n_ivf")
+  }
+
   /** The one recall/precision measurement shared by s6 and s7: full-outer
     * join the candidate top-k against the truth top-k, count hits, round
     * via rint to mirror the oracle's round_even. Any change to the
@@ -372,9 +431,12 @@ object Similarity {
     * in the whole query is the final top-k window.
     */
   private def literalCells(s: SparkSession, dir: String, nQueries: Int,
-      nProbe: Int = NProbe): (DataFrame, DataFrame) = {
-    val emb = embeddings(s, dir)
-    val cands = array(collectedCentroids(s, dir).map { case (lbl, vec) =>
+      nProbe: Int = NProbe): (DataFrame, DataFrame) =
+    literalCellsOn(embeddings(s, dir), collectedCentroids(s, dir), nQueries, nProbe)
+
+  private def literalCellsOn(emb: DataFrame, cents: Array[(Int, Array[Double])],
+      nQueries: Int, nProbe: Int): (DataFrame, DataFrame) = {
+    val cands = array(cents.map { case (lbl, vec) =>
       val cvec = array(vec.map(lit(_)): _*)
       struct(cosineMixedCol(col("embedding"), cvec).as("cos_c"),
         lit(-lbl).as("neg_label"))

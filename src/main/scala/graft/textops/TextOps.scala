@@ -53,7 +53,7 @@ object TextOps {
     * cross-engine hash (DuckDB: `('0x' || substr(md5(x),1,8))::BIGINT`)
     * shared by the minhash, rolling-fingerprint and budget-bucket ops.
     */
-  private def md5Head8(c: Column): Column =
+  private[graft] def md5Head8(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
   /** Whitespace tokens + word tokens + BPE-ish tokens per doc. */
