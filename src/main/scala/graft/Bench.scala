@@ -30,8 +30,16 @@ object Bench {
     val passes = (1 to 2).map { _ =>
       names.map { case (name, fn) => SparkEntry.timed(name) { fn(spark, sfDir).count() } }
     }
+    // min over NON-FAILED passes only: a fast failure must never become
+    // the headline number when a successful measurement exists (the
+    // failed flag still records that one pass broke)
     val best = passes.head.zip(passes(1)).map { case ((k, v1, f1), (_, v2, f2)) =>
-      (k, math.min(v1, v2), f1 || f2)
+      val v = (f1, f2) match {
+        case (false, true) => v1
+        case (true, false) => v2
+        case _             => math.min(v1, v2)
+      }
+      (k, v, f1 || f2)
     }
     val results = warm ++ best
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }

@@ -39,7 +39,7 @@ object OracleSql {
     s"""WITH q AS (
        | SELECT doc_id, length(text) AS n_chars,
        |  regexp_extract_all(lower(text), '[a-z]+') AS toks,
-       |  length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS punct_len
+       |  length(regexp_replace(text, '[A-Za-z0-9${TextOps.WsClass}]', '', 'g')) AS punct_len
        | FROM documents),
        |q2 AS (
        | SELECT doc_id, n_chars, len(toks) AS n_tokens,
@@ -72,7 +72,10 @@ object OracleSql {
        |FROM m ORDER BY doc_id""".stripMargin
   }
 
-  private val fpExpr = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+  // ws class generated from the shared TextOps constant (Java \s and
+  // RE2 \s disagree on U+000B — same discipline as WsTokenRegex)
+  private val fpExpr =
+    s"md5(trim(regexp_replace(lower(text), '${TextOps.WsSepRegex}', ' ', 'g')))"
 
   val fingerprint: String =
     s"SELECT doc_id, $fpExpr AS fp FROM documents ORDER BY doc_id"

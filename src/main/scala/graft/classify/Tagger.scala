@@ -124,12 +124,10 @@ object Tagger {
       word_count: Long,
       unique_terms: Long)
 
-  /** Tag one document's content (document-local; `content` is the
-    * classify input — spans joined by newline).
+  /** Keyword half (`:358-376`) — the only work the x_keywords facet
+    * pays; `lower` is the lowercased content.
     */
-  def tag(content: String, primaryDomain: String): DocTags = {
-    val lower = content.toLowerCase
-    // keywords (`:358-376`)
+  private[classify] def keywordsOf(lower: String): Seq[(String, Long)] = {
     val freq = scala.collection.mutable.HashMap.empty[String, Long]
     val wm = wordRx.matcher(lower)
     while (wm.find()) {
@@ -137,18 +135,24 @@ object Tagger {
       if (w.length >= MinKeywordLen && !StopWords.contains(w))
         freq.update(w, freq.getOrElse(w, 0L) + 1L)
     }
-    val keywords = freq.toSeq
+    freq.toSeq
       .filter(_._2 >= MinKeywordFreq)
       .sortBy { case (w, n) => (-n, w) }
       .take(MaxKeywords)
-    // topics (`:405-438`)
+  }
+
+  /** Topic/score/count half (`:405-462`, `:189-192`) — the only work
+    * the x_tags_meta facet pays. Returns (topics, technical_score,
+    * word_count, unique_terms).
+    */
+  private[classify] def metaOf(content: String, lower: String,
+      primaryDomain: String): (Seq[String], Double, Long, Long) = {
     val domainTopics = topicsByDomain.getOrElse(primaryDomain, Seq.empty)
       .filter(t => t.split(" ").exists(lower.contains))
     val topics =
       (if (domainTopics.nonEmpty) domainTopics
        else FallbackTopics.collect { case (cue, t) if lower.contains(cue) => t })
         .take(MaxTopics)
-    // technical score (`:440-462`): densities over the ws word count
     val (wordCount, uniqueTerms) = {
       val seen = scala.collection.mutable.HashSet.empty[String]
       var n = 0L
@@ -168,7 +172,18 @@ object Tagger {
           specials.toDouble / wordCount * 2
         math.rint(math.min(1.0, raw) * 100) / 100
       }
-    DocTags(keywords, topics, technicalScore, wordCount, uniqueTerms)
+    (topics, technicalScore, wordCount, uniqueTerms)
+  }
+
+  /** Tag one document's content (document-local; `content` is the
+    * classify input — spans joined by newline). Composes the two facet
+    * halves; each driver facet calls only its own half so neither pays
+    * the other's scans.
+    */
+  def tag(content: String, primaryDomain: String): DocTags = {
+    val lower = content.toLowerCase
+    val (topics, score, wc, uniq) = metaOf(content, lower, primaryDomain)
+    DocTags(keywordsOf(lower), topics, score, wc, uniq)
   }
 
   // ----------------------------------------------------------- facets
@@ -181,11 +196,10 @@ object Tagger {
     import spark.implicits._
     extracted
       .filter(col("success"))
-      .select(col("doc_id"), col("spans.text").as("texts"),
-        col("meta.primary_domain").as("domain"))
-      .as[(String, Seq[String], String)]
-      .flatMap { case (docId, texts, domain) =>
-        tag(texts.mkString("\n"), domain).keywords.zipWithIndex.map {
+      .select(col("doc_id"), col("spans.text").as("texts"))
+      .as[(String, Seq[String])]
+      .flatMap { case (docId, texts) =>
+        keywordsOf(texts.mkString("\n").toLowerCase).zipWithIndex.map {
           case ((w, n), i) => (docId, (i + 1).toLong, w, n)
         }
       }
@@ -206,8 +220,9 @@ object Tagger {
         col("meta.primary_domain").as("domain"))
       .as[(String, Seq[String], String)]
       .map { case (docId, texts, domain) =>
-        val t = tag(texts.mkString("\n"), domain)
-        (docId, t.topics.mkString(","), t.technical_score, t.word_count, t.unique_terms)
+        val content = texts.mkString("\n")
+        val (topics, score, wc, uniq) = metaOf(content, content.toLowerCase, domain)
+        (docId, topics.mkString(","), score, wc, uniq)
       }
       .toDF("doc_id", "topics", "technical_score", "word_count", "unique_terms")
       .orderBy("doc_id")

@@ -217,23 +217,27 @@ object Similarity {
   val MaxSignBucket = 1000
 
   /** Exact-dedup keepers: one min vec_id per byte-identical vector,
-    * grouped on a 128-bit CONTENT FINGERPRINT (two independent xxhash64
-    * words over the array) instead of the vector payload — the
+    * grouped on a 128-bit CONTENT FINGERPRINT (two differently-salted
+    * xxhash64 words over the array) instead of the vector payload — the
     * exact-dedup shuffle carries 16 bytes per row where grouping on the
     * array itself would shuffle the full embedding (at 10^9 × 256B+
     * vectors that is the difference between a 16 GB and a 256 GB+
-    * shuffle). Grouping by fingerprint equals grouping by vector up to
-    * hash collisions (~2^-128 per pair — the standard content-address
-    * trade, and the t9/s5 oracles group by the vector itself, so a
-    * collision would surface as a red row, not silence). Plan shape
-    * (exchange keyed on the fingerprint, not the array) is pinned by
-    * EmbeddingKeeperSpec.
+    * shuffle). The salt goes FIRST: XxHash64 folds children
+    * sequentially with the running hash as seed, so `xxhash64(emb, 1)`
+    * would make the second word a pure function of the first (64 bits
+    * total, ~2-3% birthday-collision odds at 10^9 rows) — hashing the
+    * salt first re-seeds the whole array fold instead, giving two
+    * distinct 64-bit views. Grouping by fingerprint equals grouping by
+    * vector up to those collisions (the t9/s5 oracles group by the
+    * vector itself, so a collision would surface as a red row, not
+    * silence). Plan shape (exchange keyed on the fingerprint, not the
+    * array) is pinned by EmbeddingKeeperSpec.
     */
   def exactKeepers(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"),
         struct(
           xxhash64(col("embedding")).as("h1"),
-          xxhash64(col("embedding"), lit(1L)).as("h2")).as("efp"))
+          xxhash64(lit(1L), col("embedding")).as("h2")).as("efp"))
       .groupBy("efp")
       .agg(min(col("vec_id")).as("vec_id"))
       .select("vec_id")

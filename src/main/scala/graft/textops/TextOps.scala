@@ -31,16 +31,23 @@ object TextOps {
     */
   val BpeishPattern = "'[a-z]+| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\t\n\f\r ']+"
 
-  /** The whitespace-token separator class, spelled character-by-character:
-    * Java's \s includes U+000B (vertical tab) where RE2's does not, so a
-    * bare '\S+' silently diverges between Spark and DuckDB on any text
+  /** The whitespace class, spelled character-by-character: Java's \s
+    * includes U+000B (vertical tab) where RE2's does not, so a bare
+    * '\s'/'\S' silently diverges between Spark and DuckDB on any text
     * containing \x0B (r4 ADVICE, generalizing the r3 drift lesson). One
-    * constant — the oracle SQL interpolates it verbatim (standard SQL
-    * strings keep backslashes literal) and the Spark expr doubles the
-    * backslashes for its escape-processing literal — so the two engines'
-    * regexes cannot drift.
+    * constant — every ws-keyed regex on BOTH engines (token counts,
+    * the exact-dedup fingerprint's whitespace collapse) derives from it:
+    * the oracle SQL interpolates verbatim (standard SQL strings keep
+    * backslashes literal) and the Spark expr doubles the backslashes
+    * for its escape-processing literal — so the engines cannot drift.
     */
-  val WsTokenRegex: String = "[^ \\t\\n\\x0B\\f\\r]+"
+  val WsClass: String = " \\t\\n\\x0B\\f\\r"
+
+  /** Non-whitespace token: the '\S+' replacement. */
+  val WsTokenRegex: String = s"[^$WsClass]+"
+
+  /** Whitespace run: the '\s+' replacement (fingerprint collapse). */
+  val WsSepRegex: String = s"[$WsClass]+"
 
   /** t1's whitespace-token count — the one ws-token rule the oracle SQL
     * mirrors; every consumer (t1, t17) must use THIS column, never a
@@ -81,7 +88,8 @@ object TextOps {
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       .withColumn("n_chars", length(col("text")).cast("long"))
       .withColumn("punct_len",
-        length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", "")))
+        // ws class from the shared constant (Java \s vs RE2 \s drift)
+        length(regexp_replace(col("text"), s"[A-Za-z0-9$WsClass]", "")))
       .withColumn("stop_n",
         size(expr(s"filter(toks, t -> t IN ($stopwordsSqlList))")))
       .withColumn("punct_ratio",
@@ -135,7 +143,7 @@ object TextOps {
 
   /** Whitespace-normalized lowercase MD5 document fingerprint. */
   def fingerprintCol: Column =
-    md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+    md5(trim(regexp_replace(lower(col("text")), WsSepRegex, " ")))
 
   /** t13: ROLLING-HASH document fingerprint — a polynomial hash folded
     * over the token stream (base 31 mod 2^31-1, per-token values from
