@@ -1904,6 +1904,27 @@ object OracleSql {
       "n_tables", NumTables.toLong, "n_lsh")
   }
 
+  /** s9 oracle: the same affine int8 quantization re-derived in SQL —
+    * round_even mirrors bround, the code digest pins every code value,
+    * and the error/cosine folds use the identical element order and
+    * double arithmetic as the Spark higher-order expressions.
+    */
+  val quantizeInt8: String =
+    s"""WITH q AS (SELECT vec_id, embedding,
+       | list_min(embedding)::DOUBLE AS mn, list_max(embedding)::DOUBLE AS mx,
+       | (list_max(embedding)::DOUBLE - list_min(embedding)::DOUBLE) / 255.0 AS scale
+       | FROM embeddings),
+       |c AS (SELECT *, CASE WHEN mx = mn THEN list_transform(embedding, x -> 0::BIGINT)
+       | ELSE list_transform(embedding, x -> round_even((x::DOUBLE - mn) / scale, 0)::BIGINT) END AS codes
+       | FROM q),
+       |d AS (SELECT *, list_transform(codes, cd -> mn + cd::DOUBLE * scale) AS dq FROM c)
+       |SELECT vec_id, len(codes)::BIGINT AS n_dims,
+       | md5(array_to_string(codes, ',')) AS code_md5,
+       | round(list_reduce(list_transform(range(len(embedding)),
+       |   i -> abs(embedding[i+1]::DOUBLE - dq[i+1])), (a, b) -> greatest(a, b)), 6) AS max_abs_err,
+       | round(${cosineMixedSql("embedding", "dq")}, 4) AS cos_dequant
+       |FROM d ORDER BY vec_id""".stripMargin
+
   val labelCentroids: String =
     """SELECT label, dim, round(avg(v), 4) + 0.0 AS mean_v
       |FROM (SELECT label, unnest(embedding) AS v,

@@ -650,6 +650,10 @@ object SparkEntry {
     // near-uniform corpus is the probed-mass worst case)
     "s8_ivf_recall_clustered" -> ((s, dir) =>
       graft.sim.Similarity.ivfRecallClustered(s, dir, 10, 5)),
+    // int8 quantization with MEASURED reconstruction quality — the
+    // vector-payload memory-footprint path (codes 4x smaller; exact
+    // re-rank stays on the originals)
+    "s9_quantize_int8" -> ((s, dir) => graft.sim.Similarity.quantizeInt8(s, dir)),
     "s7_lsh_ann_recall" -> ((s, dir) => graft.sim.Similarity.lshAnnRecall(s, dir, 10, 5)),
     "t9_embedding_dedup" -> ((s, dir) => graft.sim.Similarity.embeddingDedup(s, dir, 0.40)),
     "s5_embedding_groups" -> ((s, dir) => graft.sim.Similarity.embeddingGroups(s, dir, 0.40))
@@ -847,6 +851,7 @@ object SparkEntry {
     "s4_ivf_topk" -> OracleSql.ivfTopK(10, 5),
     "s6_ivf_recall" -> OracleSql.ivfRecall(10, 5),
     "s8_ivf_recall_clustered" -> OracleSql.ivfRecallClustered(10, 5),
+    "s9_quantize_int8" -> OracleSql.quantizeInt8,
     "s7_lsh_ann_recall" -> OracleSql.lshAnnRecall(10, 5),
     "t9_embedding_dedup" -> OracleSql.embeddingDedup(0.40),
     "s5_embedding_groups" -> OracleSql.embeddingGroups(0.40)

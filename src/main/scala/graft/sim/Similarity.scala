@@ -371,6 +371,43 @@ object Similarity {
       .select(col("vec_id"), col("label"), array(comps: _*).as("embedding"))
   }
 
+  // ------------------------------------------- s9: int8 quantization
+
+  /** s9: per-vector affine int8 quantization of the embedding column —
+    * the memory-footprint scale path for vector search (codes are 4×
+    * smaller than float32; at 10^9 × 64 dims that is 64 GB of codes vs
+    * 256 GB of floats, so candidate generation runs on codes in memory
+    * and only the exact re-rank touches original vectors). Codes are
+    * `round_even((x - min) / ((max - min) / 255))` in double precision
+    * (zero-range vectors quantize to all-0), mirrored bit-for-bit by
+    * the oracle, and reconstruction quality is MEASURED per vector —
+    * max abs error and cosine(original, dequantized) — not asserted.
+    * Document-local: one projection, no shuffle beyond the facet sort.
+    */
+  def quantizeInt8(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val e = col("embedding")
+    embeddings(s, dir)
+      .withColumn("mn", array_min(e).cast("double"))
+      .withColumn("mx", array_max(e).cast("double"))
+      .withColumn("scale", (col("mx") - col("mn")) / lit(255.0))
+      .withColumn("codes",
+        when(col("mx") === col("mn"), transform(e, _ => lit(0L)))
+          .otherwise(transform(e,
+            x => bround((x.cast("double") - col("mn")) / col("scale"), 0).cast("long"))))
+      .withColumn("dequant",
+        transform(col("codes"), c => col("mn") + c.cast("double") * col("scale")))
+      .select(
+        col("vec_id"),
+        size(col("codes")).cast("long").as("n_dims"),
+        md5(concat_ws(",", col("codes"))).as("code_md5"),
+        round(aggregate(
+          zip_with(e, col("dequant"), (a, b) => abs(a.cast("double") - b)),
+          lit(0.0), (acc, x) => greatest(acc, x)), 6).as("max_abs_err"),
+        round(cosineMixedCol(e, col("dequant")), 4).as("cos_dequant"))
+      .orderBy("vec_id")
+  }
+
   private val clusteredCache = new graft.util.SessionCache[DataFrame]
 
   /** s8: the s6 measurement on the clustered family — same truth, same
