@@ -104,6 +104,35 @@ object OracleSql {
        |SELECT keeper_id, (CASE WHEN keeper_id % 3 = 0 THEN 2 ELSE 1 END)::BIGINT AS n_emits
        |FROM k ORDER BY keeper_id""".stripMargin
 
+  /** t21 oracle: the Gopher-style repetition signals re-derived — same
+    * tokenization, same (count desc, gram asc) tie-break, round-half-
+    * even fractions, thresholds interpolated from the engine constants.
+    */
+  val repetition: String = {
+    def topCte(n: Int, tag: String): String = {
+      val gram = (1 to n).map(i => s"t[i+$i]").mkString(" || ' ' || ")
+      s"""g$tag AS (SELECT doc_id, unnest(list_transform(range(len(t) - ${n - 1}), i -> $gram)) AS g
+         | FROM toks WHERE len(t) >= $n),
+         |c$tag AS (SELECT doc_id, g, count(*) AS c FROM g$tag GROUP BY 1, 2),
+         |top$tag AS (SELECT doc_id, g, c FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS rn FROM c$tag)
+         | WHERE rn = 1)""".stripMargin
+    }
+    s"""WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t FROM documents),
+       |${topCte(2, "2")},
+       |${topCte(3, "3")},
+       |j AS (SELECT toks.doc_id, len(t)::BIGINT AS n_tokens,
+       |  coalesce(top2.g, '') AS top_bigram,
+       |  CASE WHEN len(t) = 0 THEN 0.0 ELSE round_even(coalesce(top2.c, 0) * 2.0 / len(t) * 10000, 0) / 10000 END AS bigram_frac,
+       |  coalesce(top3.g, '') AS top_trigram,
+       |  CASE WHEN len(t) = 0 THEN 0.0 ELSE round_even(coalesce(top3.c, 0) * 3.0 / len(t) * 10000, 0) / 10000 END AS trigram_frac
+       | FROM toks LEFT JOIN top2 ON toks.doc_id = top2.doc_id
+       |  LEFT JOIN top3 ON toks.doc_id = top3.doc_id)
+       |SELECT doc_id, n_tokens, top_bigram, bigram_frac, top_trigram, trigram_frac,
+       | (bigram_frac > ${TextOps.TopBigramFracMax} OR trigram_frac > ${TextOps.TopTrigramFracMax}) AS repetitive
+       |FROM j ORDER BY doc_id""".stripMargin
+  }
+
   /** Shared shingle CTE (distinct word-3-grams). */
   private val shinglesCte =
     """toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t FROM documents),

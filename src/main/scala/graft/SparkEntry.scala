@@ -631,6 +631,9 @@ object SparkEntry {
     // re-admitted; the emission-count vector gates both sides
     "t20_stream_dedup_bounded" -> ((s, dir) => graft.streaming.StreamDedup.boundedReplay(
       s, graft.textops.TextOps.docs(s, dir))),
+    // Gopher-style within-document repetition signals: the curation
+    // filter exact/near dedup cannot see (document-local, one scan)
+    "t21_repetition" -> ((s, dir) => graft.textops.TextOps.repetition(s, dir)),
 
     // ---- multimodal media columns (binary payloads; DuckDB-verified)
     "m1_media_stats" -> ((s, dir) => graft.media.MediaOps.mediaStats(s, dir)),
@@ -840,6 +843,7 @@ object SparkEntry {
       graft.textops.TextOps.ContaminationThreshold),
     "t19_stream_dedup" -> OracleSql.streamDedup,
     "t20_stream_dedup_bounded" -> OracleSql.streamDedupBounded,
+    "t21_repetition" -> OracleSql.repetition,
     "m1_media_stats" -> OracleSql.mediaStats,
     "m2_image_meta" -> OracleSql.imageMeta,
     "m3_frame_sample" -> OracleSql.frameSample,

@@ -835,4 +835,60 @@ object TextOps {
         .orderBy("doc_id")
         .localCheckpoint()
     }
+
+  // ------------------------------------------ t21: n-gram repetition
+
+  /** Gopher-style repetition thresholds (Rae et al. 2021, Table A1:
+    * top-2-gram character fraction 0.20, top-3-gram 0.18 — applied here
+    * to the TOKEN-coverage fraction `count·n / n_tokens`, the
+    * whitespace-token analog).
+    */
+  val TopBigramFracMax = 0.20
+  val TopTrigramFracMax = 0.18
+
+  /** t21: per-doc n-gram repetition signals — the curation filter that
+    * catches boilerplate/generated text exact-dedup and near-dedup both
+    * miss (repetition INSIDE one document). Top bigram/trigram with
+    * deterministic tie-break (count desc, gram asc), coverage fractions,
+    * and the Gopher-threshold flag. Document-local map over the same
+    * `[a-z]+` tokenization the shingle family uses — zero shuffle
+    * beyond the facet sort, so the 100 TB cost is one scan.
+    */
+  def repetition(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tokenRx = java.util.regex.Pattern.compile("[a-z]+")
+    docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val toks = {
+          val b = scala.collection.mutable.ArrayBuffer.empty[String]
+          val m = tokenRx.matcher(text.toLowerCase)
+          while (m.find()) b += m.group()
+          b.toArray
+        }
+        def top(n: Int): (String, Long) =
+          if (toks.length < n) ("", 0L)
+          else {
+            val counts = scala.collection.mutable.HashMap.empty[String, Long]
+            var i = 0
+            while (i + n <= toks.length) {
+              val g = toks.slice(i, i + n).mkString(" ")
+              counts.update(g, counts.getOrElse(g, 0L) + 1L)
+              i += 1
+            }
+            counts.minBy { case (g, c) => (-c, g) }
+          }
+        val nTok = toks.length.toLong
+        def frac(count: Long, n: Int): Double =
+          if (nTok == 0) 0.0
+          else math.rint(count * n.toDouble / nTok * 10000) / 10000
+        val (g2, c2) = top(2)
+        val (g3, c3) = top(3)
+        val f2 = frac(c2, 2)
+        val f3 = frac(c3, 3)
+        (id, nTok, g2, f2, g3, f3, f2 > TopBigramFracMax || f3 > TopTrigramFracMax)
+      }
+      .toDF("doc_id", "n_tokens", "top_bigram", "bigram_frac",
+        "top_trigram", "trigram_frac", "repetitive")
+      .orderBy("doc_id")
+  }
 }
