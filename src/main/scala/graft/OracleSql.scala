@@ -799,7 +799,7 @@ object OracleSql {
       s"CASE WHEN contains(lmd, '$cue') THEN '$t' ELSE NULL END"
     }.mkString(", ") + "], x -> x IS NOT NULL)"
     val topicsExpr = "CASE " +
-      Seq("safety", "technology", "financial").map { d =>
+      Tagger.topicsByDomain.keys.toSeq.sorted.map { d =>
         val l = topicList(Tagger.topicsByDomain(d))
         s"WHEN dom2 = '$d' AND len($l) > 0 THEN $l"
       }.mkString(" ") + s" ELSE $fallback END"
