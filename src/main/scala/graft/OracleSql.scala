@@ -274,7 +274,8 @@ object OracleSql {
        |ex AS (SELECT doc_id, rn FROM ($dedupExact)),
        |nd AS (SELECT doc_id, group_id FROM (${dupGroups(threshold)})),
        |cont AS (SELECT doc_id, is_contaminated FROM (${contamination(contThreshold)})),
-       |bud AS (SELECT doc_id, kept FROM ($tokenBudget))
+       |bud AS (SELECT doc_id, kept FROM ($tokenBudget)),
+       |rep AS (SELECT doc_id, repetitive FROM ($repetition))
        |SELECT d.doc_id,
        | (d.doc_id % 10 <> 0) AS is_train,
        | (quality_score >= $minQuality) AS quality_ok,
@@ -282,13 +283,15 @@ object OracleSql {
        | (nd.group_id IS NOT NULL AND nd.group_id <> d.doc_id) AS near_dup_loser,
        | coalesce(cont.is_contaminated, FALSE) AS contaminated,
        | bud.kept AS budget_kept,
+       | rep.repetitive AS repetitive,
        | ((d.doc_id % 10 <> 0) AND (quality_score >= $minQuality) AND NOT (rn > 1)
        |  AND NOT (nd.group_id IS NOT NULL AND nd.group_id <> d.doc_id)
-       |  AND NOT coalesce(cont.is_contaminated, FALSE) AND bud.kept) AS keep_final
+       |  AND NOT coalesce(cont.is_contaminated, FALSE) AND bud.kept
+       |  AND NOT rep.repetitive) AS keep_final
        |FROM documents d
        |JOIN qual USING (doc_id) JOIN ex USING (doc_id)
        |LEFT JOIN nd USING (doc_id) LEFT JOIN cont USING (doc_id)
-       |JOIN bud USING (doc_id)
+       |JOIN bud USING (doc_id) JOIN rep USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
   /** t12 oracle: compose the exact-Jaccard and LSH pair SQL. Truth is

@@ -315,7 +315,8 @@ object TextOps {
     * quality gate + exact dedup + near-dup groups (t11's stages,
     * language-agnostic here: t17's balancing replaces t11's hard lang
     * filter) + benchmark decontamination (t16) + token-budget
-    * balancing (t17). Every input is a memoized stage frame, so the
+    * balancing (t17) + within-document repetition (t21, r5). Every
+    * input is a memoized stage frame, so the
     * funnel itself is a handful of per-doc-row joins; at corpus scale
     * each stage frame is written once and the funnel is the join of
     * those decision tables.
@@ -327,6 +328,7 @@ object TextOps {
     val nd = dupGroups(s, dir).select(col("doc_id"), col("group_id"))
     val cont = contamination(s, dir).select(col("doc_id"), col("is_contaminated"))
     val bud = tokenBudget(s, dir).select(col("doc_id"), col("kept").as("budget_kept"))
+    val rep = repetition(s, dir).select(col("doc_id"), col("repetitive"))
     docs(s, dir).select("doc_id")
       .join(q, "doc_id").join(ex, "doc_id")
       .join(nd, Seq("doc_id"), "left")
@@ -334,6 +336,7 @@ object TextOps {
       // the former are excluded by is_train, the latter count as clean
       .join(cont, Seq("doc_id"), "left")
       .join(bud, "doc_id")
+      .join(rep, "doc_id")
       .withColumn("is_train", col("doc_id") % 10 =!= 0)
       .withColumn("quality_ok", col("quality_score") >= minQuality)
       .withColumn("exact_dup", col("rn") > 1)
@@ -342,9 +345,9 @@ object TextOps {
       .withColumn("contaminated", coalesce(col("is_contaminated"), lit(false)))
       .withColumn("keep_final", col("is_train") && col("quality_ok") &&
         !col("exact_dup") && !col("near_dup_loser") &&
-        !col("contaminated") && col("budget_kept"))
+        !col("contaminated") && col("budget_kept") && !col("repetitive"))
       .select("doc_id", "is_train", "quality_ok", "exact_dup", "near_dup_loser",
-        "contaminated", "budget_kept", "keep_final")
+        "contaminated", "budget_kept", "repetitive", "keep_final")
       .orderBy("doc_id")
   }
 
